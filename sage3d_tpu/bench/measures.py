@@ -1,0 +1,366 @@
+"""Evaluation measures for SAGE-Bench: SR, OSR, SPL, CR, CSR, ICP, PS + no-goal.
+
+Re-implementation of the reference metric system (measures.py:25-518) with the
+same manager lifecycle (register/reset/update/dump), the same registration-order
+dependency contract (DistanceToGoal before Success/SPL), and the same formulas:
+
+  * Success:   object-based when a semantic map is available (expansion 1.0),
+               else distance < goal radius                       (measures.py:107-150)
+  * OSR:       sticky; object-based expansion 1.2, else
+               radius max(3r, 1.5)                               (:194-244)
+  * SPL:       success * shortest / max(shortest, path); shortest
+               is the straight start->goal line                  (:153-177)
+  * CSR:       fraction of steps inside the success region
+               (object expansion 1.5 / radius max(4r, 2.0))      (:247-299)
+  * ICP:       collision-time ratio with a 3-frame recovery
+               window after each collision                       (:302-335)
+  * PS:        1 / (1 + 10 * mean ||dv||), xy velocities         (:338-381)
+  * CR:        total collision events from the env counter       (:440-465)
+  * No-goal:   EpisodeTime, ExploredAreas (0.5 m grid),
+               ExplorationCoverage (/400 cells)                  (:384-437)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .success import ObjectBasedSuccessEvaluator
+
+
+def euclidean(a, b) -> float:
+    return float(np.linalg.norm(np.asarray(b, float) - np.asarray(a, float)))
+
+
+class BaseMeasure:
+    def __init__(self, episode: Dict, manager: "MeasureManager") -> None:
+        self.ep = episode
+        self.mm = manager
+        self._metric = None
+
+    def uuid(self) -> str:
+        raise NotImplementedError
+
+    def reset(self, env) -> None:
+        raise NotImplementedError
+
+    def update(self, env) -> None:
+        raise NotImplementedError
+
+    def get(self):
+        return self._metric
+
+
+class MeasureManager:
+    def __init__(self) -> None:
+        self.measures: Dict[str, BaseMeasure] = {}
+
+    def register(self, m: BaseMeasure) -> None:
+        self.measures[m.uuid()] = m
+
+    def reset(self, env) -> None:
+        for m in self.measures.values():
+            m.reset(env)
+
+    def update(self, env) -> None:
+        for m in self.measures.values():
+            m.update(env)
+
+    def dump(self) -> Dict[str, float]:
+        return {k: float(v.get()) for k, v in self.measures.items()}
+
+
+def _goal(ep: Dict):
+    if ep.get("goals"):
+        return ep["goals"][0]["position"], float(ep["goals"][0].get("radius", 0.5))
+    return [0.0, 0.0, 0.0], 0.5
+
+
+def _object_evaluator(env) -> Optional[ObjectBasedSuccessEvaluator]:
+    path = getattr(env, "semantic_map_path", None)
+    if not path:
+        return None
+    try:
+        return ObjectBasedSuccessEvaluator(path, verbose=False)
+    except Exception:
+        return None
+
+
+class PathLength(BaseMeasure):
+    def uuid(self):
+        return "path_length"
+
+    def reset(self, env):
+        self.prev = env.get_agent_pos()
+        self._metric = 0.0
+
+    def update(self, env):
+        cur = env.get_agent_pos()
+        self._metric += euclidean(cur, self.prev)
+        self.prev = cur
+
+
+class DistanceToGoal(BaseMeasure):
+    def uuid(self):
+        return "distance_to_goal"
+
+    def reset(self, env):
+        self.update(env)
+
+    def update(self, env):
+        goal_pos, _ = _goal(self.ep)
+        self._metric = euclidean(env.get_agent_pos(), goal_pos)
+
+
+class Success(BaseMeasure):
+    def uuid(self):
+        return "success"
+
+    def reset(self, env):
+        self.object_evaluator = _object_evaluator(env)
+        self.update(env)
+
+    def update(self, env):
+        if self.object_evaluator is not None:
+            try:
+                ok, _ = self.object_evaluator.evaluate_success(
+                    env.get_agent_pos(), self.ep, expansion_radius=1.0)
+                self._metric = 1.0 if ok else 0.0
+                return
+            except Exception:
+                pass
+        d = self.mm.measures["distance_to_goal"].get()
+        _, r = _goal(self.ep)
+        self._metric = 1.0 if d < r else 0.0
+
+
+class OracleSuccess(BaseMeasure):
+    def uuid(self):
+        return "oracle_success"
+
+    def reset(self, env):
+        self._metric = 0.0
+        self.object_evaluator = _object_evaluator(env)
+        self.update(env)
+
+    def update(self, env):
+        if self._metric >= 1.0:
+            return
+        if self.object_evaluator is not None:
+            try:
+                ok, _ = self.object_evaluator.evaluate_success(
+                    env.get_agent_pos(), self.ep, expansion_radius=1.2)
+                if ok:
+                    self._metric = 1.0
+                return
+            except Exception:
+                pass
+        d = self.mm.measures["distance_to_goal"].get()
+        _, r = _goal(self.ep)
+        if d < max(r * 3.0, 1.5):
+            self._metric = 1.0
+
+
+class SPL(BaseMeasure):
+    def uuid(self):
+        return "spl"
+
+    def reset(self, env):
+        self.prev = env.get_agent_pos()
+        goal_pos, _ = _goal(self.ep)
+        self.shortest = euclidean(env.get_agent_pos(), goal_pos)
+        self.pl = 0.0
+        self.update(env)
+
+    def update(self, env):
+        cur = env.get_agent_pos()
+        self.pl += euclidean(cur, self.prev)
+        self.prev = cur
+        suc = self.mm.measures["success"].get()
+        if self.shortest > 0:
+            self._metric = float(suc * (self.shortest / max(self.shortest, self.pl)))
+        else:
+            self._metric = float(suc)
+
+
+class NavigationError(BaseMeasure):
+    def uuid(self):
+        return "navigation_error"
+
+    def reset(self, env):
+        self.update(env)
+
+    def update(self, env):
+        self._metric = float(self.mm.measures["distance_to_goal"].get())
+
+
+class ContinuousSuccessRatio(BaseMeasure):
+    def uuid(self):
+        return "continuous_success_ratio"
+
+    def reset(self, env):
+        self.total_steps = 0
+        self.success_steps = 0
+        self.object_evaluator = _object_evaluator(env)
+        self.update(env)
+
+    def update(self, env):
+        cur = env.get_agent_pos()
+        self.total_steps += 1
+        if self.object_evaluator is not None:
+            try:
+                ok, _ = self.object_evaluator.evaluate_success(
+                    cur, self.ep, expansion_radius=1.5)
+                if ok:
+                    self.success_steps += 1
+                self._metric = self.success_steps / self.total_steps
+                return
+            except Exception:
+                pass
+        goal_pos, r = _goal(self.ep)
+        if euclidean(cur, goal_pos) <= max(r * 4.0, 2.0):
+            self.success_steps += 1
+        self._metric = self.success_steps / self.total_steps
+
+
+class IntegratedCollisionPenalty(BaseMeasure):
+    def uuid(self):
+        return "integrated_collision_penalty"
+
+    def reset(self, env):
+        self.total_steps = 0
+        self.collision_steps = 0
+        self.recovery = 0
+        self.update(env)
+
+    def update(self, env):
+        self.total_steps += 1
+        colliding = False
+        if getattr(env, "consecutive_collisions", 0) > 0:
+            colliding = True
+        elif getattr(env, "_collision_detected", False):
+            colliding = True
+        if colliding:
+            self.recovery = 3  # 3-frame recovery window (measures.py:326-332)
+        if self.recovery > 0:
+            self.collision_steps += 1
+            self.recovery -= 1
+        self._metric = self.collision_steps / self.total_steps
+
+
+class PathSmoothness(BaseMeasure):
+    def uuid(self):
+        return "path_smoothness"
+
+    def reset(self, env):
+        self.positions = [np.array(env.get_agent_pos(), float)]
+        self.update(env)
+
+    def update(self, env):
+        self.positions.append(np.array(env.get_agent_pos(), float))
+        if len(self.positions) < 3:
+            self._metric = 1.0
+            return
+        velocities = []
+        for i in range(len(self.positions) - 1):
+            vel = self.positions[i + 1] - self.positions[i]
+            if np.linalg.norm(vel[:2]) > 1e-6:
+                velocities.append(vel[:2])
+        if len(velocities) < 2:
+            self._metric = 1.0
+            return
+        accs = [np.linalg.norm(velocities[i + 1] - velocities[i])
+                for i in range(len(velocities) - 1)]
+        if not accs:
+            self._metric = 1.0
+            return
+        self._metric = float(1.0 / (1.0 + float(np.mean(accs)) * 10.0))
+
+
+class EpisodeTime(BaseMeasure):
+    def uuid(self):
+        return "episode_time"
+
+    def reset(self, env):
+        self.start_time = getattr(env, "_episode_start_time", 0.0)
+        self._metric = 0.0
+
+    def update(self, env):
+        self._metric = float(getattr(env, "_current_time", 0.0) - self.start_time)
+
+
+class ExploredAreas(BaseMeasure):
+    GRID = 0.5
+
+    def uuid(self):
+        return "explored_areas"
+
+    def reset(self, env):
+        self.visited = set()
+        self._metric = 0.0
+
+    def update(self, env):
+        pos = env.get_agent_pos()
+        self.visited.add((int(pos[0] / self.GRID), int(pos[1] / self.GRID)))
+        self._metric = float(len(self.visited))
+
+
+class ExplorationCoverage(BaseMeasure):
+    GRID = 0.5
+    TOTAL_CELLS = 400
+
+    def uuid(self):
+        return "exploration_coverage"
+
+    def reset(self, env):
+        self.visited = set()
+        self._metric = 0.0
+
+    def update(self, env):
+        pos = env.get_agent_pos()
+        self.visited.add((int(pos[0] / self.GRID), int(pos[1] / self.GRID)))
+        self._metric = float(min(len(self.visited) / self.TOTAL_CELLS, 1.0))
+
+
+class CollisionCount(BaseMeasure):
+    def uuid(self):
+        return "collision_count"
+
+    def reset(self, env):
+        self._metric = 0.0
+
+    def update(self, env):
+        if hasattr(env, "get_collision_count"):
+            self._metric = float(env.get_collision_count())
+        elif getattr(env, "_collision_detected", False):
+            self._metric += 1.0
+
+
+def default_measures(episode: Dict) -> MeasureManager:
+    """VLN metric set; registration order encodes dependencies
+    (measures.py:468-494)."""
+    mm = MeasureManager()
+    mm.register(DistanceToGoal(episode, mm))
+    mm.register(Success(episode, mm))
+    mm.register(OracleSuccess(episode, mm))
+    mm.register(PathLength(episode, mm))
+    mm.register(SPL(episode, mm))
+    mm.register(NavigationError(episode, mm))
+    mm.register(CollisionCount(episode, mm))
+    mm.register(ContinuousSuccessRatio(episode, mm))
+    mm.register(IntegratedCollisionPenalty(episode, mm))
+    mm.register(PathSmoothness(episode, mm))
+    return mm
+
+
+def nogoal_measures(episode: Dict) -> MeasureManager:
+    """No-goal exploration metric set (measures.py:497-518)."""
+    mm = MeasureManager()
+    mm.register(EpisodeTime(episode, mm))
+    mm.register(ExploredAreas(episode, mm))
+    mm.register(ExplorationCoverage(episode, mm))
+    mm.register(CollisionCount(episode, mm))
+    mm.register(PathLength(episode, mm))
+    mm.register(PathSmoothness(episode, mm))
+    return mm

@@ -1,0 +1,173 @@
+"""Tiled compositor in pure XLA: MXU-shaped alpha blending, autodiff backward.
+
+TPU-native re-design of the CUDA per-tile compositing loop (one warp per pixel,
+sequential front-to-back blending). The GPU recipe does not map to TPU — there
+are no warps and per-pixel scalar loops defeat the VPU/MXU. Instead, compositing
+is reformulated so the hot math is dense linear algebra:
+
+  * A tile is 32x32 = 1024 pixels; Gaussians are processed in depth-ordered
+    chunks of G (default 128).
+  * The EWA exponent is a quadratic in pixel coords, so the (1024, G) exponent
+    matrix is ONE matmul: X (1024, 6 basis) @ W (6, G coeffs) -> MXU.
+  * Front-to-back transmittance is a cumulative product along the chunk, done as
+    exp(cumsum(log1p(-alpha))) — a parallel scan instead of a serial loop.
+  * Color/depth accumulation is another matmul: weights (1024, G) @ features
+    (G, F) -> MXU.
+
+Pixel coordinates are TILE-LOCAL to keep the quadratic numerically tight in
+fp32 (absolute pixel coords up to 1920 would lose ~6 bits in the x^2 terms).
+
+Everything is differentiable by construction, so `jax.grad` provides the exact
+backward (verified against the oracle compositor); the Pallas kernel in
+composite_pallas.py is the hand-scheduled version of this same algorithm.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from .binning import TILE_H, TILE_W, TileBins
+from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
+
+
+def quad_coeffs(means2d_local: jnp.ndarray, conics: jnp.ndarray) -> jnp.ndarray:
+    """Per-Gaussian coefficients of the EWA exponent as a pixel-space quadratic.
+
+    power(px, py) = w0 + wx*px + wy*py + wxx*px^2 + wyy*py^2 + wxy*px*py
+    with (px, py) tile-local pixel-center coords and means2d_local the Gaussian
+    center in the same frame. Returns (..., 6) stacked [w0, wx, wy, wxx, wyy, wxy].
+    """
+    cx = means2d_local[..., 0]
+    cy = means2d_local[..., 1]
+    a = conics[..., 0]
+    b = conics[..., 1]
+    c = conics[..., 2]
+    w0 = -0.5 * (a * cx * cx + c * cy * cy) - b * cx * cy
+    wx = a * cx + b * cy
+    wy = c * cy + b * cx
+    return jnp.stack([w0, wx, wy, -0.5 * a, -0.5 * c, -b], axis=-1)
+
+
+def pixel_basis(tile_h: int, tile_w: int) -> jnp.ndarray:
+    """(tile_h*tile_w, 6) basis [1, px, py, px^2, py^2, px*py], tile-local."""
+    py = (jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0) + 0.5).reshape(-1)
+    px = (jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1) + 0.5).reshape(-1)
+    one = jnp.ones_like(px)
+    return jnp.stack([one, px, py, px * px, py * py, px * py], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_capacity", "chunk",
+                                   "tile_w", "tile_h"))
+def composite_tiles(
+    proj: ProjectedGaussians,
+    semantic_ids: jnp.ndarray,
+    bins: TileBins,
+    width: int,
+    height: int,
+    tile_capacity: int = 1024,
+    chunk: int = 128,
+    tile_w: int = TILE_W,
+    tile_h: int = TILE_H,
+) -> Dict[str, jnp.ndarray]:
+    """Composite all tiles. Returns the same dict schema as composite_reference.
+
+    ``tile_capacity`` (static) caps Gaussians per tile; overflow is reported in
+    the output dict, not silently mis-rendered.
+    """
+    tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+    n_tiles = tiles_x * tiles_y
+    px_per_tile = tile_w * tile_h
+    n_chunks = -(-tile_capacity // chunk)
+    cap = n_chunks * chunk
+
+    # Per-tile pair index windows (T, cap) into the sorted pair array.
+    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = k < jnp.minimum(bins.tile_count, cap)[:, None]            # (T, cap)
+    pair_idx = jnp.clip(bins.tile_start[:, None] + k, 0,
+                        bins.pair_gauss.shape[0] - 1)
+    g_idx = jnp.where(valid, bins.pair_gauss[pair_idx], 0)            # (T, cap)
+
+    # Gather per-pair features once (big gathers vectorize well on TPU).
+    tile_col = (jnp.arange(n_tiles, dtype=jnp.int32) % tiles_x)
+    tile_row = (jnp.arange(n_tiles, dtype=jnp.int32) // tiles_x)
+    origin = jnp.stack([tile_col * tile_w, tile_row * tile_h], -1).astype(jnp.float32)
+
+    means_l = proj.means2d[g_idx] - origin[:, None, :]                # (T, cap, 2)
+    coeffs = quad_coeffs(means_l, proj.conics[g_idx])                 # (T, cap, 6)
+    opac = jnp.where(valid, proj.opacities[g_idx], 0.0)               # (T, cap)
+    # Features blended by the weight matmul: rgb, depth, ones (alpha accum).
+    feats = jnp.concatenate([
+        proj.colors[g_idx],
+        proj.depths[g_idx][..., None],
+        jnp.ones_like(opac)[..., None],
+    ], axis=-1)                                                       # (T, cap, 5)
+    sem = jnp.where(valid, semantic_ids[g_idx], -1)                   # (T, cap)
+
+    X = pixel_basis(tile_h, tile_w)                                   # (pix, 6)
+    # The exponent is evaluated elementwise (VPU, exact fp32) rather than as an
+    # X @ W matmul: on TPU the MXU runs bf16 passes by default and the ~272
+    # magnitude of the px^2 basis would cost ~6 bits of exponent precision,
+    # breaking allclose-vs-oracle parity.
+    Xb = [X[:, i][:, None] for i in range(6)]                         # (pix, 1) each
+
+    coeffs_c = coeffs.reshape(n_tiles, n_chunks, chunk, 6)
+    opac_c = opac.reshape(n_tiles, n_chunks, chunk)
+    feats_c = feats.reshape(n_tiles, n_chunks, chunk, 5)
+    sem_c = sem.reshape(n_tiles, n_chunks, chunk)
+
+    def tile_fn(coeffs_t, opac_t, feats_t, sem_t):
+        def chunk_fn(carry, inp):
+            log_T, acc, best_w, best_id = carry
+            co, op, ft, sm = inp
+            power = (co[:, 0][None, :]
+                     + Xb[1] * co[:, 1][None, :] + Xb[2] * co[:, 2][None, :]
+                     + Xb[3] * co[:, 3][None, :] + Xb[4] * co[:, 4][None, :]
+                     + Xb[5] * co[:, 5][None, :])                     # (pix, chunk)
+            alpha = op[None, :] * jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.where(power > 0.0, 0.0, alpha)
+            alpha = jnp.minimum(alpha, ALPHA_MAX)
+            alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+            l = jnp.log1p(-alpha)
+            s_incl = jnp.cumsum(l, axis=-1)
+            s_excl = s_incl - l
+            w = alpha * jnp.exp(log_T[:, None] + s_excl)              # (pix, chunk)
+            # fp32-exact accumulation matmul (MXU with full-precision passes).
+            acc = acc + jnp.einsum("pg,gf->pf", w, ft,
+                                   precision=jax.lax.Precision.HIGHEST)
+            cw = jnp.max(w, axis=-1)
+            cid = sm[jnp.argmax(w, axis=-1)]
+            better = cw > best_w
+            best_w = jnp.where(better, cw, best_w)
+            best_id = jnp.where(better, cid, best_id)
+            log_T = log_T + s_incl[:, -1]
+            return (log_T, acc, best_w, best_id), None
+
+        init = (jnp.zeros((px_per_tile,), jnp.float32),
+                jnp.zeros((px_per_tile, 5), jnp.float32),
+                jnp.zeros((px_per_tile,), jnp.float32),
+                jnp.full((px_per_tile,), -1, jnp.int32))
+        (log_T, acc, _, best_id), _ = jax.lax.scan(
+            chunk_fn, init, (coeffs_t, opac_t, feats_t, sem_t))
+        return acc, jnp.exp(log_T), best_id
+
+    acc, trans, sem_out = jax.vmap(tile_fn)(coeffs_c, opac_c, feats_c, sem_c)
+
+    def untile(x):
+        c = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile_h, tiles_x * tile_w, c)
+        return x[:height, :width]
+
+    acc_img = untile(acc)
+    return {
+        "rgb": acc_img[..., 0:3],
+        "depth_acc": acc_img[..., 3],
+        "alpha": acc_img[..., 4],
+        "trans": untile(trans)[..., 0],
+        "semantic": untile(sem_out)[..., 0].astype(jnp.int32),
+        "tile_overflow": jnp.sum(jnp.maximum(bins.tile_count - cap, 0)),
+    }

@@ -1,0 +1,143 @@
+"""3D -> 2D Gaussian projection (EWA splatting), pure jnp and fully differentiable.
+
+TPU-native replacement for the projection stage of the CUDA rasterizer behind
+Isaac Sim's USDZ 3DGS rendering (reference renders via `world.step(render=True)`,
+simple_env.py:1356-1393 — the actual math lives in closed-source CUDA). Here it is
+an elementwise-per-Gaussian jnp program: XLA vectorizes it onto the VPU and fuses
+it with SH evaluation; autodiff provides the exact backward, so no hand-written
+kernel is needed for this stage (it is bandwidth-bound, not compute-bound).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sh import eval_sh
+from ..renderer.camera import Camera
+from ..renderer.scene import GaussianScene
+
+# Low-pass dilation added to the 2D covariance diagonal (classic 3DGS value):
+# guarantees splats cover at least ~1 pixel so they cannot alias away.
+COV2D_DILATION = 0.3
+ALPHA_MAX = 0.99    # compositing clamp, matches classic 3DGS
+ALPHA_MIN = 1.0 / 255.0
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-Gaussian screen-space quantities consumed by the compositors."""
+
+    means2d: jnp.ndarray    # (N, 2) pixel coords
+    conics: jnp.ndarray     # (N, 3) inverse 2D covariance (a, b, c): [[a,b],[b,c]]
+    depths: jnp.ndarray     # (N,) camera-space z
+    radii: jnp.ndarray      # (N,) conservative pixel radius (0 => culled)
+    colors: jnp.ndarray     # (N, 3) view-dependent RGB
+    opacities: jnp.ndarray  # (N,)
+    visible: jnp.ndarray    # (N,) bool
+
+
+def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) (w, x, y, z) quaternions -> (..., 3, 3) rotation matrices."""
+    q = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def covariance_3d(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
+    """Sigma = R S S^T R^T for per-Gaussian scales/rotations."""
+    R = quat_to_rotmat(quats)                      # (N, 3, 3)
+    S = jnp.exp(log_scales)                        # (N, 3)
+    M = R * S[..., None, :]                        # R @ diag(S)
+    return M @ jnp.swapaxes(M, -1, -2)
+
+
+def project_gaussians(scene: GaussianScene, camera: Camera,
+                      sh_degree: int | None = None) -> ProjectedGaussians:
+    """Project all Gaussians into one camera (vmap over cameras for batches)."""
+    if sh_degree is None:
+        sh_degree = scene.sh_degree
+
+    R_wc = camera.world_to_cam                     # (3, 3) world -> camera
+    t = (scene.means - camera.position) @ R_wc.T   # (N, 3) camera-space centers
+    tz = t[:, 2]
+    depths = tz
+
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    inv_z = 1.0 / tz_safe
+    u = camera.fx * t[:, 0] * inv_z + camera.cx
+    v = camera.fy * t[:, 1] * inv_z + camera.cy
+    means2d = jnp.stack([u, v], axis=-1)
+
+    # EWA: Sigma2D = J W Sigma W^T J^T with W = R_wc, J the perspective Jacobian.
+    cov3d = covariance_3d(scene.log_scales, scene.quats)      # (N, 3, 3)
+    # Clamp the Jacobian evaluation point to the frustum cone (classic 3DGS):
+    # limits the linearization error for Gaussians far outside the view.
+    lim_x = 1.3 * (0.5 * camera.width / camera.fx)
+    lim_y = 1.3 * (0.5 * camera.height / camera.fy)
+    txz = jnp.clip(t[:, 0] * inv_z, -lim_x, lim_x) * tz_safe
+    tyz = jnp.clip(t[:, 1] * inv_z, -lim_y, lim_y) * tz_safe
+    fx_z = camera.fx * inv_z
+    fy_z = camera.fy * inv_z
+    J = jnp.stack([
+        jnp.stack([fx_z, jnp.zeros_like(fx_z), -camera.fx * txz * inv_z * inv_z], -1),
+        jnp.stack([jnp.zeros_like(fy_z), fy_z, -camera.fy * tyz * inv_z * inv_z], -1),
+    ], axis=-2)                                                # (N, 2, 3)
+    JW = J @ R_wc                                              # (N, 2, 3)
+    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)              # (N, 2, 2)
+    cov2d = cov2d + COV2D_DILATION * jnp.eye(2, dtype=cov2d.dtype)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_safe = jnp.where(det <= 0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # Conservative extent: 3 sigma of the major axis.
+    mid = 0.5 * (a + c)
+    eig_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    radii_f = jnp.ceil(3.0 * jnp.sqrt(eig_max))
+
+    # View-dependent color.
+    view_dirs = scene.means - camera.position
+    view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-12)
+    colors = eval_sh(scene.sh, view_dirs, sh_degree)
+
+    # Frustum/validity culling (kept as a mask: shapes stay static under jit).
+    inside = ((u + radii_f > 0) & (u - radii_f < camera.width)
+              & (v + radii_f > 0) & (v - radii_f < camera.height))
+    visible = (tz > camera.near) & (tz < camera.far) & (det > 0) & inside
+    radii = jnp.where(visible, radii_f, 0.0).astype(jnp.int32)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        conics=conics,
+        depths=depths,
+        radii=radii,
+        colors=colors,
+        opacities=scene.opacities,
+        visible=visible,
+    )
+
+
+def alpha_at(proj: ProjectedGaussians, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Opacity of every Gaussian at pixel (px, py): the EWA footprint.
+
+    Used by the oracle compositor and by tests; (px, py) broadcast against N.
+    """
+    dx = px[..., None] - proj.means2d[:, 0]
+    dy = py[..., None] - proj.means2d[:, 1]
+    a, b, c = proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    alpha = proj.opacities * jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.where(power > 0.0, 0.0, alpha)         # outside-center guard
+    alpha = jnp.minimum(alpha, ALPHA_MAX)
+    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)   # classic 3DGS cutoff
+    return jnp.where(proj.visible, alpha, 0.0)

@@ -1,0 +1,115 @@
+"""High-level differentiable render API: RGB + depth + semantic-ID images.
+
+The TPU-native replacement for the reference's Isaac-Sim capture surface
+(`get_rgb` simple_env.py:1356-1393, `get_depth` :1395-1589, `get_rgbd`
+:1591-1842). One call renders all channels in a single pass — no collision-mesh
+visibility toggling, no multi-strategy depth fallbacks: depth is the expected
+splat depth from the same compositing weights as RGB.
+
+Backends:
+  * "oracle": exact per-pixel reference (tests / small scenes).
+  * "xla":    tiled MXU-shaped compositor (ops/composite_xla.py).
+  * "pallas": hand-scheduled TPU kernel (ops/composite_pallas.py).
+All share projection/SH and the binning data structures, and all are
+differentiable w.r.t. scene parameters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.binning import TILE_H, TILE_W, bin_gaussians
+from ..ops.composite_ref import composite_reference
+from ..ops.composite_xla import composite_tiles
+from ..ops.projection import project_gaussians
+from .camera import Camera
+from .scene import GaussianScene
+
+
+def default_pair_capacity(n_gaussians: int, width: int, height: int) -> int:
+    """Static pair-buffer size heuristic: ~16 tiles per Gaussian, pow2-rounded.
+
+    Generous by default (correctness over memory); perf-tuned callers pass an
+    explicit capacity. Overflow is always reported in the output, never silent.
+    """
+    est = max(16 * n_gaussians, 1 << 16)
+    cap = 1 << (est - 1).bit_length()
+    return min(cap, 1 << 25)
+
+
+def render(
+    scene: GaussianScene,
+    camera: Camera,
+    backend: str = "xla",
+    bg_color=(0.0, 0.0, 0.0),
+    sh_degree: Optional[int] = None,
+    pair_capacity: Optional[int] = None,
+    tile_capacity: int = 1024,
+    chunk: int = 128,
+) -> Dict[str, jnp.ndarray]:
+    """Render one camera. Returns a dict:
+
+      rgb:       (H, W, 3) composited over ``bg_color``
+      depth:     (H, W) expected depth, background at camera.far
+      alpha:     (H, W) accumulated opacity
+      semantic:  (H, W) int32 argmax-weight object ID (-1 = background)
+      trans:     (H, W) final transmittance
+      depth_acc: (H, W) raw sum(w_i * z_i) (for parity tests)
+      overflow:  () int32 dropped pairs (capacity accounting; 0 in correct runs)
+    """
+    width, height = camera.width, camera.height
+    proj = project_gaussians(scene, camera, sh_degree=sh_degree)
+
+    if backend == "oracle":
+        out = composite_reference(proj, scene.semantic_ids, width, height)
+        overflow = jnp.int32(0)
+    elif backend == "xla":
+        if pair_capacity is None:
+            pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
+        bins = bin_gaussians(proj, width, height, pair_capacity)
+        out = composite_tiles(proj, scene.semantic_ids, bins, width, height,
+                              tile_capacity=tile_capacity, chunk=chunk)
+        overflow = bins.overflow + out.pop("tile_overflow")
+    elif backend == "pallas":
+        from ..ops.composite_pallas import composite_tiles_pallas
+        if pair_capacity is None:
+            pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
+        bins = bin_gaussians(proj, width, height, pair_capacity)
+        out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width, height,
+                                     tile_capacity=tile_capacity)
+        overflow = bins.overflow + out.pop("tile_overflow")
+    else:
+        raise ValueError(f"unknown backend: {backend}")
+
+    bg = jnp.asarray(bg_color, jnp.float32)
+    rgb = out["rgb"] + out["trans"][..., None] * bg
+    depth = out["depth_acc"] + out["trans"] * camera.far
+    return {
+        "rgb": rgb,
+        "depth": depth,
+        "alpha": out["alpha"],
+        "semantic": out["semantic"],
+        "trans": out["trans"],
+        "depth_acc": out["depth_acc"],
+        "rgb_acc": out["rgb"],
+        "overflow": overflow,
+    }
+
+
+def render_batch(scene: GaussianScene, cameras: Camera, **kw) -> Dict[str, jnp.ndarray]:
+    """Render a stacked Camera batch (leading axis on all camera fields).
+
+    Replaces the reference's per-waypoint serial Isaac renders
+    (generate_images.py:408-456 — 3 `world.step(render=True)` per frame): on TPU
+    the camera batch is one vmapped program, so waypoint rendering for training
+    data is a single device launch per batch.
+    """
+    return jax.vmap(lambda c: render(scene, c, **kw))(cameras)
+
+
+def rgb_to_uint8(rgb: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -1,0 +1,150 @@
+"""Renderer correctness: oracle semantics, tiled-XLA parity, gradient parity.
+
+The oracle compositor is the ground truth (BASELINE.json: outputs and
+per-Gaussian gradients of the production compositors must match it allclose).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sage3d_tpu.ops.binning import bin_gaussians
+from sage3d_tpu.ops.projection import project_gaussians
+from sage3d_tpu.renderer.camera import agent_camera, make_camera
+from sage3d_tpu.renderer.render import render
+from sage3d_tpu.renderer.scene import make_scene, synthetic_room
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    return synthetic_room(num_gaussians=600, seed=3)
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return make_camera(position=[0.0, -4.0, 1.2], forward=[0.0, 1.0, -0.1],
+                       width=W, height=H)
+
+
+def test_projection_shapes_and_visibility(small_scene, cam):
+    proj = project_gaussians(small_scene, cam)
+    n = small_scene.num_gaussians
+    assert proj.means2d.shape == (n, 2)
+    assert proj.conics.shape == (n, 3)
+    assert proj.visible.dtype == jnp.bool_
+    assert int(proj.visible.sum()) > 0
+    # behind-camera Gaussians are culled
+    behind = np.asarray(proj.depths) < cam.near
+    assert not np.any(np.asarray(proj.visible)[behind])
+
+
+def test_single_gaussian_center_alpha():
+    # One opaque Gaussian dead-center: center pixel alpha == its opacity.
+    scene = make_scene(
+        means=[[0.0, 2.0, 1.2]], scales=[[0.3, 0.3, 0.3]],
+        quats=[[1.0, 0, 0, 0]], opacities=[0.8], colors=[[1.0, 0.2, 0.2]],
+        semantic_ids=[7],
+    )
+    cam = make_camera(position=[0, 0, 1.2], forward=[0, 1, 0], width=33, height=33,
+                      intrinsics=(30.0, 30.0, 16.5, 16.5))
+    out = render(scene, cam, backend="oracle")
+    a = np.asarray(out["alpha"])
+    assert a[16, 16] == pytest.approx(0.8, abs=1e-3)
+    assert np.asarray(out["semantic"])[16, 16] == 7
+    # depth at center equals the Gaussian's camera-space z (alpha-weighted + far bg)
+    d = np.asarray(out["depth"])[16, 16]
+    assert d == pytest.approx(0.8 * 2.0 + 0.2 * cam.far, rel=1e-3)
+
+
+def test_occlusion_order():
+    # Near opaque red in front of far opaque blue: pixel must be red.
+    scene = make_scene(
+        means=[[0.0, 4.0, 1.2], [0.0, 2.0, 1.2]],
+        scales=[[0.4] * 3, [0.4] * 3],
+        quats=[[1, 0, 0, 0]] * 2,
+        opacities=[0.97, 0.97],
+        colors=[[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]],
+        semantic_ids=[1, 2],
+    )
+    cam = make_camera(position=[0, 0, 1.2], forward=[0, 1, 0], width=17, height=17,
+                      intrinsics=(16.0, 16.0, 8.5, 8.5))
+    out = render(scene, cam, backend="oracle")
+    rgb = np.asarray(out["rgb"])
+    assert rgb[8, 8, 0] > 0.6 and rgb[8, 8, 2] < 0.2
+    assert np.asarray(out["semantic"])[8, 8] == 2
+
+
+def test_binning_covers_all_visible(small_scene, cam):
+    proj = project_gaussians(small_scene, cam)
+    bins = bin_gaussians(proj, W, H, pair_capacity=1 << 15)
+    assert int(bins.overflow) == 0
+    # every visible gaussian with radius>0 appears in at least one tile list
+    counted = np.zeros(small_scene.num_gaussians, bool)
+    pg = np.asarray(bins.pair_gauss)[: int(bins.n_pairs)]
+    counted[pg] = True
+    vis = np.asarray(proj.visible) & (np.asarray(proj.radii) > 0)
+    assert np.all(counted[vis])
+
+
+def test_xla_matches_oracle(small_scene, cam):
+    ref = render(small_scene, cam, backend="oracle")
+    out = render(small_scene, cam, backend="xla", tile_capacity=1024)
+    assert int(out["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["depth_acc"]),
+                               np.asarray(ref["depth_acc"]), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), np.asarray(ref["alpha"]),
+                               rtol=1e-4, atol=1e-4)
+    sem_ref = np.asarray(ref["semantic"])
+    sem_out = np.asarray(out["semantic"])
+    assert (sem_ref == sem_out).mean() > 0.995  # ties may differ at fp noise
+
+
+def test_gradients_match_oracle(small_scene, cam):
+    target = jnp.asarray(np.random.default_rng(0).uniform(size=(H, W, 3)),
+                         jnp.float32)
+
+    params = {"means": small_scene.means, "log_scales": small_scene.log_scales,
+              "quats": small_scene.quats, "opacity_logits": small_scene.opacity_logits,
+              "sh": small_scene.sh}
+
+    def loss(p, backend):
+        scene = small_scene._replace(**p)
+        out = render(scene, cam, backend=backend)
+        return jnp.mean((out["rgb"] - target) ** 2) + 0.1 * jnp.mean(out["depth_acc"])
+
+    g_ref = jax.grad(lambda p: loss(p, "oracle"))(params)
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+
+    for name in ("means", "log_scales", "quats", "opacity_logits", "sh"):
+        a = np.asarray(g_ref[name])
+        b = np.asarray(g_xla[name])
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-4,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_agent_camera_geometry():
+    cam = agent_camera((1.0, 2.0), yaw=np.pi / 2)
+    np.testing.assert_allclose(np.asarray(cam.position), [1.0, 2.0, 1.2], atol=1e-6)
+    fwd = np.asarray(cam.cam_to_world)[:, 2]
+    np.testing.assert_allclose(fwd, [0.0, 1.0, 0.0], atol=1e-6)
+    # camera +y is world -z (image down)
+    down = np.asarray(cam.cam_to_world)[:, 1]
+    np.testing.assert_allclose(down, [0.0, 0.0, -1.0], atol=1e-6)
+
+
+def test_render_batch_shapes(small_scene):
+    from sage3d_tpu.renderer.camera import stack_cameras
+    from sage3d_tpu.renderer.render import render_batch
+    cams = stack_cameras([
+        agent_camera((0.0, -4.0), yaw=1.57, width=W, height=H),
+        agent_camera((0.5, -4.0), yaw=1.2, width=W, height=H),
+    ])
+    out = render_batch(small_scene, cams)
+    assert out["rgb"].shape == (2, H, W, 3)
+    assert out["semantic"].shape == (2, H, W)
