@@ -1,0 +1,103 @@
+"""Headline benchmark: fwd+bwd rendering throughput at 1080p, 1M Gaussians.
+
+BASELINE.json config #2-style measurement on real TPU hardware: a full
+InteriorGS-scale scene (1M Gaussians), one 1920x1080 camera, forward render
+(RGB+depth+semantic) plus analytic backward to all Gaussian parameters via the
+Pallas compositor. Prints ONE JSON line:
+
+  {"metric": "mpix_per_s_fwd_bwd_1080p_1m_gauss", "value": N,
+   "unit": "Mpix/s", "vs_baseline": R}
+
+The reference publishes no machine-performance numbers (BASELINE.md), so
+vs_baseline reports the speedup of the Pallas kernel path over this repo's own
+naive tiled-XLA path on the identical workload — the honest internal baseline.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def make_bench_scene(n: int = 1_000_000, seed: int = 0):
+    """InteriorGS-scale synthetic room: 1M small splats in a 10x8x3 m volume."""
+    import numpy as np
+    from sage3d_tpu.renderer.scene import make_scene
+    rng = np.random.default_rng(seed)
+    means = rng.uniform([-5, -4, 0], [5, 4, 3], size=(n, 3)).astype(np.float32)
+    scales = rng.uniform(0.01, 0.05, size=(n, 3)).astype(np.float32)
+    u = rng.uniform(size=(n, 3))
+    quats = np.stack([
+        np.sqrt(u[:, 0]) * np.cos(2 * np.pi * u[:, 2]),
+        np.sqrt(1 - u[:, 0]) * np.sin(2 * np.pi * u[:, 1]),
+        np.sqrt(1 - u[:, 0]) * np.cos(2 * np.pi * u[:, 1]),
+        np.sqrt(u[:, 0]) * np.sin(2 * np.pi * u[:, 2]),
+    ], axis=1).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, size=n).astype(np.float32)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    sem = rng.integers(0, 200, size=n).astype(np.int32)
+    return make_scene(means, scales, quats, opac, colors=colors,
+                      semantic_ids=sem, sh_degree=0)
+
+
+def bench_backend(scene, camera, backend: str, pair_capacity: int,
+                  iters: int = 8):
+    from sage3d_tpu.renderer.render import render
+
+    def loss(means, log_scales, quats, opacity_logits, sh):
+        s = scene._replace(means=means, log_scales=log_scales, quats=quats,
+                           opacity_logits=opacity_logits, sh=sh)
+        out = render(s, camera, backend=backend, pair_capacity=pair_capacity,
+                     tile_capacity=2048)
+        return (jnp.sum(out["rgb"] ** 2) + jnp.sum(out["depth_acc"])
+                + jnp.sum(out["alpha"])), out["overflow"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
+                                         has_aux=True))
+    args = (scene.means, scene.log_scales, scene.quats, scene.opacity_logits,
+            scene.sh)
+    (l0, overflow), g = grad_fn(*args)    # compile + warm
+    jax.block_until_ready(g)
+    t0 = time.time()
+    for _ in range(iters):
+        (_, _), g = grad_fn(*args)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / iters
+    mpix = camera.width * camera.height / dt / 1e6
+    return mpix, dt, int(overflow)
+
+
+def main():
+    from sage3d_tpu.renderer.camera import make_camera
+
+    n = 1_000_000
+    scene = make_bench_scene(n)
+    camera = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
+                         width=1920, height=1080, focal_mm=14.0)
+    pair_capacity = 1 << 23
+
+    pallas_mpix, pallas_dt, ovf_p = bench_backend(scene, camera, "pallas",
+                                                  pair_capacity)
+    xla_mpix, xla_dt, ovf_x = bench_backend(scene, camera, "xla",
+                                            pair_capacity)
+
+    result = {
+        "metric": "mpix_per_s_fwd_bwd_1080p_1m_gauss",
+        "value": round(pallas_mpix, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(pallas_mpix / max(xla_mpix, 1e-9), 3),
+        "detail": {
+            "pallas_step_s": round(pallas_dt, 4),
+            "xla_step_s": round(xla_dt, 4),
+            "xla_mpix_per_s": round(xla_mpix, 2),
+            "overflow_pairs": ovf_p,
+            "n_gaussians": n,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,10 +58,18 @@ def covariance_3d(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
 
 
 def project_gaussians(scene: GaussianScene, camera: Camera,
-                      sh_degree: int | None = None) -> ProjectedGaussians:
-    """Project all Gaussians into one camera (vmap over cameras for batches)."""
+                      sh_degree: int | None = None,
+                      clamp_dims: tuple | None = None) -> ProjectedGaussians:
+    """Project all Gaussians into one camera (vmap over cameras for batches).
+
+    ``clamp_dims`` (width, height) overrides the frustum-cone clamp used in the
+    EWA Jacobian: band-sharded rendering passes the FULL frame dims so each
+    band computes bit-identical covariances to a single-device render.
+    """
     if sh_degree is None:
         sh_degree = scene.sh_degree
+    clamp_w, clamp_h = clamp_dims if clamp_dims is not None else (
+        camera.width, camera.height)
 
     R_wc = camera.world_to_cam                     # (3, 3) world -> camera
     t = (scene.means - camera.position) @ R_wc.T   # (N, 3) camera-space centers
@@ -78,8 +86,8 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
     cov3d = covariance_3d(scene.log_scales, scene.quats)      # (N, 3, 3)
     # Clamp the Jacobian evaluation point to the frustum cone (classic 3DGS):
     # limits the linearization error for Gaussians far outside the view.
-    lim_x = 1.3 * (0.5 * camera.width / camera.fx)
-    lim_y = 1.3 * (0.5 * camera.height / camera.fy)
+    lim_x = 1.3 * (0.5 * clamp_w / camera.fx)
+    lim_y = 1.3 * (0.5 * clamp_h / camera.fy)
     txz = jnp.clip(t[:, 0] * inv_z, -lim_x, lim_x) * tz_safe
     tyz = jnp.clip(t[:, 1] * inv_z, -lim_y, lim_y) * tz_safe
     fx_z = camera.fx * inv_z

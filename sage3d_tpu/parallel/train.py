@@ -1,0 +1,166 @@
+"""Sharded 3DGS scene optimization: the framework's flagship training step.
+
+Scene reconstruction/refinement — optimizing Gaussian parameters against target
+renders — is the differentiable renderer's core workload (what the Isaac-based
+reference could not do at all: its renderer was a closed black box). The
+multi-chip layout is FSDP-style over the mesh from parallel/mesh.py:
+
+  * "data" axis: cameras/target images split (DP across hosts/DCN).
+  * "tile" axis: image rows band-split (spatial SP) AND Gaussian parameters +
+    Adam state sharded on the same axis (TP/ZeRO-like). Forward all-gathers
+    the parameter shards over ICI; the gradient transpose is a reduce-scatter,
+    so each device only ever materializes its own parameter/optimizer shard.
+
+Everything below is one jitted SPMD program; XLA overlaps the all-gather with
+projection math and the reduce-scatter with the backward compositing sweep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.binning import TILE_H
+from ..renderer.camera import Camera
+from ..renderer.render import render
+from ..renderer.scene import GaussianScene
+
+TRAINABLE = ("means", "log_scales", "quats", "opacity_logits", "sh")
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, jnp.ndarray]
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def scene_params(scene: GaussianScene) -> Dict[str, jnp.ndarray]:
+    return {k: getattr(scene, k) for k in TRAINABLE}
+
+
+def with_params(scene: GaussianScene, params: Dict[str, jnp.ndarray]) -> GaussianScene:
+    return scene._replace(**params)
+
+
+def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def param_sharding(mesh: Mesh, tile_axis: str = "tile") -> NamedSharding:
+    """Gaussian-axis sharding for params/optimizer state (FSDP-style)."""
+    return NamedSharding(mesh, P(tile_axis))
+
+
+def init_train_state(scene: GaussianScene, optimizer, mesh: Mesh,
+                     tile_axis: str = "tile") -> TrainState:
+    params = scene_params(scene)
+    shard = param_sharding(mesh, tile_axis)
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), params)
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def pad_scene_to(scene: GaussianScene, multiple: int) -> GaussianScene:
+    """Pad the Gaussian axis so it divides the tile-axis mesh size."""
+    n = scene.num_gaussians
+    pad = (-n) % multiple
+    if pad == 0:
+        return scene
+    return GaussianScene(
+        means=jnp.pad(scene.means, ((0, pad), (0, 0)), constant_values=1e6),
+        log_scales=jnp.pad(scene.log_scales, ((0, pad), (0, 0))),
+        quats=jnp.pad(scene.quats, ((0, pad), (0, 0))).at[n:, 0].set(1.0),
+        opacity_logits=jnp.pad(scene.opacity_logits, (0, pad),
+                               constant_values=-20.0),
+        sh=jnp.pad(scene.sh, ((0, pad), (0, 0), (0, 0))),
+        semantic_ids=jnp.pad(scene.semantic_ids, (0, pad), constant_values=-1),
+    )
+
+
+def make_train_step(
+    template: GaussianScene,
+    camera: Camera,
+    mesh: Mesh,
+    optimizer=None,
+    data_axis: str = "data",
+    tile_axis: str = "tile",
+    backend: str = "xla",
+    **render_kw,
+):
+    """Build the jitted sharded train step.
+
+    Args:
+      template: scene providing non-trainable fields (semantic ids) and shapes;
+        must already be padded so N % mesh.shape[tile_axis] == 0.
+      camera: per-sample camera template (intrinsics/resolution); the batch
+        passes per-camera position/rotation arrays.
+
+    Returns (train_step, optimizer) where
+      train_step(state, cam_batch: Camera[batch], targets[batch,H,W,3]) ->
+      (state, loss).
+    """
+    if optimizer is None:
+        optimizer = make_optimizer()
+    n_tile = mesh.shape[tile_axis]
+    padded_h = -(-camera.height // TILE_H) * TILE_H
+    band_h = -(-(padded_h // TILE_H) // n_tile) * TILE_H  # rows per device
+
+    params_spec = {k: P(tile_axis) for k in TRAINABLE}
+    cam_spec = jax.tree_util.tree_map(lambda _: P(data_axis), camera)
+    target_spec = P(data_axis)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(params_spec, cam_spec, target_spec),
+             out_specs=P(data_axis, tile_axis), check_vma=False)
+    def local_loss_sum(params, cams, targets):
+        # Gather the parameter shards (ICI all-gather; transpose =
+        # reduce-scatter of gradients back onto the shards).
+        full = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, tile_axis, axis=0, tiled=True),
+            params)
+        scene = with_params(template, full)
+        band = jax.lax.axis_index(tile_axis)
+        y0 = (band * band_h).astype(jnp.float32)
+
+        def one(cam: Camera, target):
+            band_cam = cam._replace(cy=cam.cy - y0, height=band_h)
+            out = render(scene, band_cam, backend=backend,
+                         clamp_dims=(cam.width, cam.height), **render_kw)
+            tgt = jax.lax.dynamic_slice_in_dim(
+                target, band * band_h, band_h, axis=0)
+            # rows past the true image height are band-grid padding: mask them
+            rows = band * band_h + jnp.arange(band_h)
+            mask = (rows < camera.height).astype(jnp.float32)[:, None, None]
+            return jnp.sum(((out["rgb"] - tgt) ** 2) * mask)
+
+        total = jnp.sum(jax.vmap(one)(cams, targets))
+        return total[None, None]
+
+    def loss_fn(params, cam_batch, targets):
+        need_h = band_h * n_tile
+        if targets.shape[1] < need_h:  # pad rows to the band grid
+            targets = jnp.pad(targets,
+                              ((0, 0), (0, need_h - targets.shape[1]),
+                               (0, 0), (0, 0)))
+        sums = local_loss_sum(params, cam_batch, targets)
+        n_px = targets.shape[0] * camera.height * camera.width * 3
+        return jnp.sum(sums) / n_px
+
+    @jax.jit
+    def train_step(state: TrainState, cam_batch: Camera, targets: jnp.ndarray
+                   ) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cam_batch,
+                                                  targets)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step, optimizer

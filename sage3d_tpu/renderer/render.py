@@ -50,6 +50,7 @@ def render(
     pair_capacity: Optional[int] = None,
     tile_capacity: int = 1024,
     chunk: int = 128,
+    clamp_dims: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
 
@@ -62,7 +63,8 @@ def render(
       overflow:  () int32 dropped pairs (capacity accounting; 0 in correct runs)
     """
     width, height = camera.width, camera.height
-    proj = project_gaussians(scene, camera, sh_degree=sh_degree)
+    proj = project_gaussians(scene, camera, sh_degree=sh_degree,
+                             clamp_dims=clamp_dims)
 
     if backend == "oracle":
         out = composite_reference(proj, scene.semantic_ids, width, height)

@@ -1,0 +1,247 @@
+"""Benchmark harness: episodes, tasks, measures, success, closed-loop episodes.
+
+Includes the full closed-loop integration test: synthetic scene + semantic map
++ GVLN episode file -> env -> oracle policy / scripted socket server -> metrics.
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from sage3d_tpu.bench.episodes import adapt_gvln_to_episodes
+from sage3d_tpu.bench.measures import default_measures, nogoal_measures
+from sage3d_tpu.bench.runner import check_episode_completed, run_benchmark, run_episode
+from sage3d_tpu.bench.success import ObjectBasedSuccessEvaluator, object_priority
+from sage3d_tpu.bench.tasks import TaskTypeManager, adapt_episode_for_task
+from sage3d_tpu.env.vln_env import GaussianVLNEnv
+from sage3d_tpu.serve.policy import OraclePolicy, make_socket_policy
+from sage3d_tpu.serve.scripted_server import ScriptedPolicyServer
+from sage3d_tpu.renderer.scene import synthetic_room
+from sage3d_tpu.utils.transforms import map_to_world_xy, world_quat_from_map_yaw
+
+
+# ---------------------------------------------------------------------------
+# fixtures: a coherent synthetic world (map + scene + episode)
+# ---------------------------------------------------------------------------
+
+def make_semantic_map():
+    """10x10 m room: boundary walls, one table object, in map-frame meters."""
+    wall = []
+    for i in range(101):
+        t = i / 10.0
+        wall += [[0.0, t], [10.0, t], [t, 0.0], [t, 10.0]]
+    table = [[y / 10.0, x / 10.0] for y in range(60, 71) for x in range(70, 81)]
+    floor = [[y, x] for y in np.linspace(0, 10, 11) for x in np.linspace(0, 10, 11)]
+    return [
+        {"category_label": "Wall", "instance_id": 0, "item_id": "label_0",
+         "mask_coords_m": wall, "bbox_m": [0, 0, 10, 10]},
+        {"category_label": "Table", "instance_id": 3, "item_id": "label_3",
+         "mask_coords_m": table, "bbox_m": [7.0, 6.0, 8.0, 7.0]},
+        {"category_label": "floor", "instance_id": 9, "item_id": "label_9",
+         "mask_coords_m": floor, "bbox_m": [0, 0, 10, 10]},
+    ]
+
+
+BOUNDS = (0.0, 10.0, 0.0, 10.0)
+
+
+def world_pt(mx, my, z=0.5):
+    wx, wy = map_to_world_xy(mx, my, BOUNDS)
+    return [float(wx), float(wy), z]
+
+
+def make_gvln_json(tmp_path):
+    """Trajectory from map (2,2) to the table at (7.5, 6.5), world frame."""
+    waypoints_map = [(2.0, 2.0), (3.5, 3.0), (5.0, 4.0), (6.5, 5.5), (7.3, 6.3)]
+    points = []
+    for i, (mx, my) in enumerate(waypoints_map):
+        if i < len(waypoints_map) - 1:
+            nx, ny = waypoints_map[i + 1]
+            map_yaw = math.atan2(ny - my, nx - mx)
+            # world yaw: map dir (dx,dy) -> world dir (-dx,-dy) = yaw + pi; the
+            # stored quaternion encodes this via the generation chain
+            rot = list(world_quat_from_map_yaw(map_yaw))
+        else:
+            rot = [0.0, 0.0, 0.0, 1.0]
+        points.append({"position": world_pt(mx, my), "rotation": rot})
+    data = {
+        "scenes": [{
+            "scene_id": 1, "scene_name": "synthroom",
+            "samples": [{
+                "trajectory_id": "7",
+                "instructions": [
+                    {"generated_instruction": "Walk to the table.",
+                     "instruction_type": "AC", "start": "label_0",
+                     "end": "label_3"},
+                ],
+                "points": points,
+            }],
+        }],
+    }
+    p = tmp_path / "trajectories_overall_test_synthroom.json"
+    with open(p, "w") as f:
+        json.dump(data, f)
+    map_p = tmp_path / "2D_Semantic_Map_synthroom_Complete.json"
+    with open(map_p, "w") as f:
+        json.dump(make_semantic_map(), f)
+    return p, map_p
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("world")
+    traj_path, map_path = make_gvln_json(tmp)
+    scene = synthetic_room(num_gaussians=300, seed=11)
+    env = GaussianVLNEnv(scene, map_json=str(map_path), width=64, height=48,
+                         backend="xla")
+    episodes = adapt_gvln_to_episodes(traj_path, "synthroom.ply")
+    return env, episodes, tmp
+
+
+# ---------------------------------------------------------------------------
+# unit pieces
+# ---------------------------------------------------------------------------
+
+def test_adapter_schema(world):
+    _, episodes, _ = world
+    assert len(episodes) == 1
+    ep = episodes[0]
+    assert ep["episode_id"] == "7-0"
+    assert ep["end_item"] == "label_3"
+    assert len(ep["gt_locations"]) == 5
+    assert ep["goals"][0]["radius"] == 0.5
+
+
+def test_task_inference():
+    assert TaskTypeManager.infer_task_type({"instructions": ["go"]}) == "vln"
+    assert TaskTypeManager.infer_task_type(
+        {"instructions": [{"generated_instruction": "x",
+                           "instruction_type": "Goal-less"}]}) == "nogoalnav"
+    assert TaskTypeManager.infer_task_type({"target_object": "chair"}) == "objectnav"
+    assert TaskTypeManager.infer_task_type({"goal_position": [0, 0, 0]}) == "pointnav"
+    assert TaskTypeManager.infer_task_type({"target_image": "x"}) == "imgnav"
+
+
+def test_adapt_episode_objectnav():
+    ep = {"instructions": ["Go to the chair near the window"],
+          "points": [{"position": [0, 0, 0]}, {"position": [1, 1, 0]}]}
+    out = adapt_episode_for_task(ep, "objectnav")
+    assert out["target_object"] == "window" or out["target_object"] == "chair"
+    assert out["target_object_position"] == [1, 1, 0]
+
+
+def test_object_priority_order():
+    assert object_priority("label_1", "Projection Screen") == 1
+    assert object_priority("label_2", "Dining Table") == 2
+    assert object_priority("label_3", "Office Chair") == 3
+    assert object_priority("label_4", "Unable Area") == 10
+    assert object_priority("label_5", "Plant") == 5
+
+
+def test_object_based_success(world):
+    env, episodes, tmp = world
+    ev = ObjectBasedSuccessEvaluator(make_semantic_map())
+    ep = episodes[0]
+    # standing at the table (map 7.5, 6.5) -> success
+    ok, info = ev.evaluate_success(np.array(world_pt(7.5, 6.5)), ep)
+    assert ok, info
+    # far away -> fail
+    ok2, _ = ev.evaluate_success(np.array(world_pt(2.0, 2.0)), ep)
+    assert not ok2
+
+
+def test_measures_smoke(world):
+    env, episodes, _ = world
+    ep = episodes[0]
+    env.set_start_pose(ep["start_position"], ep["start_rotation"])
+    mm = default_measures(ep)
+    mm.reset(env)
+    env.apply_cmd_for(0.3, 0.0, 0.1, 1.0)
+    mm.update(env)
+    out = mm.dump()
+    for key in ("success", "oracle_success", "spl", "distance_to_goal",
+                "path_length", "collision_count", "continuous_success_ratio",
+                "integrated_collision_penalty", "path_smoothness",
+                "navigation_error"):
+        assert key in out
+    assert out["path_length"] > 0
+
+
+def test_set_start_pose_recovers_map_heading(world):
+    env, episodes, _ = world
+    ep = episodes[0]
+    env.set_start_pose(ep["start_position"], ep["start_rotation"])
+    # first segment heads from map (2,2) to (3.5,3): map yaw ~ atan2(1, 1.5);
+    # in world frame the direction is negated => yaw + pi
+    map_yaw = math.atan2(1.0, 1.5)
+    expected_world_yaw = math.atan2(-1.0, -1.5)
+    got = env.get_yaw()
+    # decode gives the MAP yaw (reference convention); the env then moves in
+    # world frame, where following gt_locations requires the +pi direction.
+    assert (abs(got - map_yaw) < 1e-5
+            or abs(got - expected_world_yaw) < 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# closed loop
+# ---------------------------------------------------------------------------
+
+def test_oracle_episode_success(world):
+    env, episodes, tmp = world
+    ep = episodes[0]
+    policy = OraclePolicy(env, ep)
+    rec = run_episode(env, ep, policy, max_steps=120,
+                      output_dir=str(tmp / "out"))
+    m = rec["measurements"]
+    assert rec["episode_info"]["stop_called"]
+    assert m["success"] == 1.0, m
+    assert m["spl"] > 0.3
+    assert m["oracle_success"] == 1.0
+    # resume bookkeeping
+    assert check_episode_completed(tmp / "out", "synthroom", "7-0")
+
+
+def test_scripted_server_closed_loop(world):
+    env, episodes, tmp = world
+    ep = episodes[0]
+    with ScriptedPolicyServer(script=["MOVE_FORWARD", "TURN_LEFT",
+                                      "MOVE_FORWARD", "STOP"]) as srv:
+        policy = make_socket_policy(host="127.0.0.1", port=srv.port)
+        rec = run_episode(env, ep, policy, max_steps=10)
+        assert srv.request_count >= 4
+        assert rec["episode_info"]["stop_called"]          # STOP honored
+        assert rec["episode_info"]["steps_run"] == 4
+
+
+def test_run_benchmark_batch_and_resume(world):
+    env, episodes, tmp = world
+    out_dir = tmp / "batch"
+    policy = OraclePolicy(env, episodes[0])
+    summary = run_benchmark(env, episodes, policy, output_dir=str(out_dir),
+                            max_steps=120)
+    assert summary["num_episodes"] == 1
+    assert summary["metrics"]["success"] == 1.0
+    assert (out_dir / "batch_test_summary.json").exists()
+    # second run skips everything
+    summary2 = run_benchmark(env, episodes, policy, output_dir=str(out_dir))
+    assert summary2["num_skipped"] == 1
+    assert summary2["num_episodes"] == 0
+
+
+def test_nogoal_episode(world):
+    env, episodes, tmp = world
+    ep = dict(episodes[0])
+    ep["task_type"] = "no_goal_exploration"
+    ep["episode_id"] = "7-ng"
+
+    def wander(images, instruction, current_yaw=0.0, depth_images=None, **kw):
+        return {"vx": 0.3, "vy": 0.0, "yaw_rate": 0.3, "duration_s": 1.0,
+                "stop": True}  # STOP must be overridden into exploration
+
+    rec = run_episode(env, ep, wander, max_steps=15, task_type="nogoalnav")
+    m = rec["measurements"]
+    assert "episode_time" in m and "explored_areas" in m
+    assert rec["episode_info"]["stop_override_count"] > 0
+    assert m["explored_areas"] >= 1.0
