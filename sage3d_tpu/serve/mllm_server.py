@@ -1,0 +1,186 @@
+"""Generic multimodal-model VLN server: adapter pattern over the wire protocol.
+
+Re-implementation of the reference MLLM server (mllm_server.py:41-519): a
+socket server (8-byte BE length + JSON, base64 JPEG frames) that hosts ANY
+vision-language model behind an adapter exposing
+``generate_response(images, instruction) -> text``; the response text is
+constrained-decoded to the 4-action vocabulary with partial matching
+(mllm_server.py:89-112). HuggingFace adapters (Qwen-VL / LLaVA / InternVL
+prompt shapes, :125-367) are provided but imported lazily — the harness runs
+with a plain callable, and a JAX policy hosted here serves straight from TPU.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from abc import ABC, abstractmethod
+from typing import Callable, List, Optional
+
+from .protocol import decode_image_b64, recv_framed, send_framed
+
+ACTIONS = ("MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT", "STOP")
+
+
+class VLNPromptTemplate:
+    """Constrained 4-action prompt (mllm_server.py:41-66)."""
+
+    SYSTEM = (
+        "You are a robot navigating inside a building. Given the current "
+        "first-person view and an instruction, choose EXACTLY ONE action from: "
+        "MOVE_FORWARD, TURN_LEFT, TURN_RIGHT, STOP. Reply with the action only.")
+
+    @classmethod
+    def build(cls, instruction: str) -> str:
+        return (f"{cls.SYSTEM}\n\nInstruction: {instruction}\n"
+                f"Which action should the robot take next?")
+
+
+def extract_action(text: str) -> str:
+    """Map free-form model output to the closest action, with partial matching
+    (mllm_server.py:89-112). Unknown output -> MOVE_FORWARD (navid_server.py:
+    326-327 default-forward convention)."""
+    t = text.upper()
+    for action in ACTIONS:
+        if action in t:
+            return action
+    t_low = text.lower()
+    if "stop" in t_low or "done" in t_low or "finish" in t_low:
+        return "STOP"
+    if "left" in t_low:
+        return "TURN_LEFT"
+    if "right" in t_low:
+        return "TURN_RIGHT"
+    if "forward" in t_low or "ahead" in t_low or "straight" in t_low \
+            or "move" in t_low:
+        return "MOVE_FORWARD"
+    return "MOVE_FORWARD"
+
+
+class MLLMAdapter(ABC):
+    """Model adapter: decode images + instruction -> raw text."""
+
+    @abstractmethod
+    def generate_response(self, images: List, instruction: str) -> str: ...
+
+    def extract_action(self, text: str) -> str:
+        return extract_action(text)
+
+
+class CallableAdapter(MLLMAdapter):
+    """Wrap any (images, instruction) -> text callable (incl. JAX policies)."""
+
+    def __init__(self, fn: Callable[[List, str], str]):
+        self.fn = fn
+
+    def generate_response(self, images, instruction):
+        return self.fn(images, instruction)
+
+
+class HFAdapter(MLLMAdapter):
+    """HuggingFace multimodal adapter (Qwen-VL/LLaVA/InternVL families).
+
+    Lazily loads transformers; prompt construction follows the per-family
+    shapes of the reference adapters (mllm_server.py:125-367). Runs wherever
+    torch runs (CPU in this image); model_id examples:
+    Qwen/Qwen2-VL-2B-Instruct, llava-hf/llava-1.5-7b-hf.
+    """
+
+    def __init__(self, model_id: str, device: str = "cpu", max_new_tokens: int = 16):
+        from transformers import AutoModelForVision2Seq, AutoProcessor
+        self.processor = AutoProcessor.from_pretrained(model_id)
+        self.model = AutoModelForVision2Seq.from_pretrained(model_id)
+        self.model.to(device)
+        self.device = device
+        self.max_new_tokens = max_new_tokens
+
+    def generate_response(self, images, instruction):
+        prompt = VLNPromptTemplate.build(instruction)
+        messages = [{"role": "user", "content": (
+            [{"type": "image"} for _ in images[:1]]
+            + [{"type": "text", "text": prompt}])}]
+        text = self.processor.apply_chat_template(messages,
+                                                  add_generation_prompt=True)
+        inputs = self.processor(text=text, images=images[:1],
+                                return_tensors="pt").to(self.device)
+        out = self.model.generate(**inputs, max_new_tokens=self.max_new_tokens)
+        return self.processor.batch_decode(out, skip_special_tokens=True)[-1]
+
+
+class MLLMServer:
+    """Socket VLN server hosting an adapter (mllm_server.py:370-519)."""
+
+    def __init__(self, adapter: MLLMAdapter, host: str = "0.0.0.0",
+                 port: int = 54321, verbose: bool = False):
+        self.adapter = adapter
+        self.host = host
+        self.verbose = verbose
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self.port = self._sock.getsockname()[1]
+        self._sock.listen(8)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"requests": 0, "total_latency_s": 0.0}
+
+    def _handle(self, conn: socket.socket) -> None:
+        request = recv_framed(conn)
+        if request.get("action") == "reset":
+            send_framed(conn, {"result": "reset_ok"})
+            return
+        images = [decode_image_b64(b) for b in request.get("images", [])]
+        instruction = request.get("query", request.get("instruction", ""))
+        t0 = time.time()
+        raw = self.adapter.generate_response(images, instruction)
+        action = self.adapter.extract_action(raw)
+        self.stats["requests"] += 1
+        self.stats["total_latency_s"] += time.time() - t0
+        send_framed(conn, {"result": action, "raw": str(raw)[:500]})
+
+    def _serve(self) -> None:
+        self._sock.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                conn.settimeout(120.0)
+                self._handle(conn)
+            except Exception as e:
+                if self.verbose:
+                    print(f"[MLLM_SERVER] request failed: {e}")
+            finally:
+                conn.close()
+
+    def start(self) -> "MLLMServer":
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self.start()
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            self.stop()
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        if self._thread:
+            self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()

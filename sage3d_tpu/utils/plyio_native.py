@@ -1,0 +1,219 @@
+"""Native-accelerated PLY IO: compressed-3DGS decoding + fast column extraction.
+
+ctypes bindings over native/libsage3d_native.so (built by native/Makefile; the
+wrapper auto-builds it on first use). Replaces the reference's external
+splat-transform step (README.md:194-243): InteriorGS's 3dgs_compressed.ply
+decodes directly into a GaussianScene. A pure-Python decoder of the same format
+serves as fallback and as the correctness oracle for the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libsage3d_native.so"
+_lib: Optional[ctypes.CDLL] = None
+
+SH_C0 = 0.28209479177387814
+_SQRT2_INV = 0.7071067811865475
+
+
+def _load_native(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and build_if_missing:
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError):
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.sage3d_decode_compressed_ply.restype = ctypes.c_int
+    lib.sage3d_decode_compressed_ply.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.sage3d_extract_columns.restype = ctypes.c_int
+    lib.sage3d_extract_columns.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def decode_compressed(chunk_data: np.ndarray, packed: np.ndarray,
+                      use_native: Optional[bool] = None):
+    """Decode compressed chunks+vertices into SoA arrays.
+
+    Args:
+      chunk_data: (n_chunks, 12|18) float32 min/max ranges.
+      packed: (n, 4) uint32 packed vertices.
+      use_native: force native/python path (None = native if available).
+
+    Returns dict of numpy arrays: means (n,3), log_scales (n,3), quats (n,4)
+    (w,x,y,z), opacity_logits (n,), sh_dc (n,3).
+    """
+    chunk_data = np.ascontiguousarray(chunk_data, np.float32)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    n = packed.shape[0]
+    lib = _load_native() if use_native in (None, True) else None
+    if use_native is True and lib is None:
+        raise RuntimeError("native library unavailable")
+
+    if lib is not None:
+        means = np.empty((n, 3), np.float32)
+        log_scales = np.empty((n, 3), np.float32)
+        quats = np.empty((n, 4), np.float32)
+        opacity = np.empty((n,), np.float32)
+        sh_dc = np.empty((n, 3), np.float32)
+        rc = lib.sage3d_decode_compressed_ply(
+            _fptr(chunk_data), chunk_data.shape[0], chunk_data.shape[1],
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n,
+            _fptr(means), _fptr(log_scales), _fptr(quats), _fptr(opacity),
+            _fptr(sh_dc))
+        if rc != 0:
+            raise RuntimeError(f"native decode failed: rc={rc}")
+        return {"means": means, "log_scales": log_scales, "quats": quats,
+                "opacity_logits": opacity, "sh_dc": sh_dc}
+    return _decode_compressed_python(chunk_data, packed)
+
+
+def _unorm(v: np.ndarray, bits: int) -> np.ndarray:
+    t = (1 << bits) - 1
+    return (v & t).astype(np.float32) / t
+
+
+def _decode_compressed_python(chunk_data: np.ndarray, packed: np.ndarray):
+    """Pure-numpy decoder (correctness oracle for the native path)."""
+    n = packed.shape[0]
+    ci = np.minimum(np.arange(n) // 256, chunk_data.shape[0] - 1)
+    c = chunk_data[ci]
+    has_color = chunk_data.shape[1] == 18
+
+    p, r, s, col = (packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3])
+    means = np.stack([
+        c[:, 0] + (c[:, 3] - c[:, 0]) * _unorm(p >> 21, 11),
+        c[:, 1] + (c[:, 4] - c[:, 1]) * _unorm(p >> 11, 10),
+        c[:, 2] + (c[:, 5] - c[:, 2]) * _unorm(p, 11)], axis=1)
+    log_scales = np.stack([
+        c[:, 6] + (c[:, 9] - c[:, 6]) * _unorm(s >> 21, 11),
+        c[:, 7] + (c[:, 10] - c[:, 7]) * _unorm(s >> 11, 10),
+        c[:, 8] + (c[:, 11] - c[:, 8]) * _unorm(s, 11)], axis=1)
+
+    largest = (r >> 30).astype(np.int32)
+    a = (_unorm(r >> 20, 10) - 0.5) * 2.0 * _SQRT2_INV
+    b = (_unorm(r >> 10, 10) - 0.5) * 2.0 * _SQRT2_INV
+    d = (_unorm(r, 10) - 0.5) * 2.0 * _SQRT2_INV
+    m = np.sqrt(np.maximum(0.0, 1.0 - (a * a + b * b + d * d)))
+    comps = np.stack([a, b, d], axis=1)
+    xyzw = np.empty((n, 4), np.float32)
+    for k in range(4):
+        mask = largest == k
+        rest = np.delete(np.arange(4), k)
+        xyzw[mask, k] = m[mask]
+        xyzw[mask[:, None] & np.isin(np.arange(4), rest)[None, :]] = \
+            comps[mask].reshape(-1)
+    quats = np.stack([xyzw[:, 3], xyzw[:, 0], xyzw[:, 1], xyzw[:, 2]], axis=1)
+
+    cr = _unorm(col >> 24, 8)
+    cg = _unorm(col >> 16, 8)
+    cb = _unorm(col >> 8, 8)
+    ca = _unorm(col, 8)
+    if has_color:
+        cr = c[:, 12] + (c[:, 15] - c[:, 12]) * cr
+        cg = c[:, 13] + (c[:, 16] - c[:, 13]) * cg
+        cb = c[:, 14] + (c[:, 17] - c[:, 14]) * cb
+    sh_dc = np.stack([(cr - 0.5) / SH_C0, (cg - 0.5) / SH_C0,
+                      (cb - 0.5) / SH_C0], axis=1).astype(np.float32)
+    ca = np.clip(ca, 1e-6, 1 - 1e-6)
+    opacity = np.log(ca / (1 - ca)).astype(np.float32)
+    return {"means": means.astype(np.float32),
+            "log_scales": log_scales.astype(np.float32),
+            "quats": quats.astype(np.float32),
+            "opacity_logits": opacity, "sh_dc": sh_dc}
+
+
+def load_compressed_ply(path, use_native: Optional[bool] = None):
+    """Load a PlayCanvas compressed 3DGS PLY into a GaussianScene."""
+    import jax.numpy as jnp
+    from ..renderer.scene import GaussianScene
+
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError("not a PLY file")
+        elements = []  # (name, count, [(prop, dtype)])
+        cur = None
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("element"):
+                _, name, count = line.split()
+                cur = (name, int(count), [])
+                elements.append(cur)
+            elif line.startswith("property"):
+                _, dtype, pname = line.split()
+                cur[2].append((pname, dtype))
+            elif line == "end_header":
+                break
+        blobs = {}
+        for name, count, props in elements:
+            dt = np.dtype([(p, np.uint32 if t.startswith("uint") else
+                            np.float32) for p, t in props])
+            blobs[name] = np.frombuffer(f.read(dt.itemsize * count), dtype=dt,
+                                        count=count)
+
+    chunks = blobs["chunk"]
+    chunk_data = np.stack([chunks[name] for name in chunks.dtype.names],
+                          axis=1).astype(np.float32)
+    verts = blobs["vertex"]
+    packed = np.stack([verts["packed_position"], verts["packed_rotation"],
+                       verts["packed_scale"], verts["packed_color"]],
+                      axis=1).astype(np.uint32)
+    dec = decode_compressed(chunk_data, packed, use_native=use_native)
+    n = packed.shape[0]
+    sh = np.zeros((n, 1, 3), np.float32)
+    sh[:, 0, :] = dec["sh_dc"]
+    return GaussianScene(
+        means=jnp.asarray(dec["means"]),
+        log_scales=jnp.asarray(dec["log_scales"]),
+        quats=jnp.asarray(dec["quats"]),
+        opacity_logits=jnp.asarray(dec["opacity_logits"]),
+        sh=jnp.asarray(sh),
+        semantic_ids=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+def extract_columns_native(blob: np.ndarray, n: int, stride: int,
+                           offsets) -> Optional[np.ndarray]:
+    """Strided float32 column gather via the native library (None = no lib)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    out = np.empty((len(offsets), n), np.float32)
+    rc = lib.sage3d_extract_columns(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, stride,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets), _fptr(out))
+    if rc != 0:
+        return None
+    return out

@@ -1,0 +1,114 @@
+"""Native compressed-PLY decoder vs the pure-Python oracle, + file roundtrip."""
+
+import numpy as np
+import pytest
+
+from sage3d_tpu.utils import plyio_native as pn
+
+
+def make_compressed_arrays(n=1024, seed=0, with_color_range=True):
+    """Synthesize valid (chunk_data, packed) pairs."""
+    rng = np.random.default_rng(seed)
+    n_chunks = -(-n // 256)
+    cf = 18 if with_color_range else 12
+    chunk = np.zeros((n_chunks, cf), np.float32)
+    chunk[:, 0:3] = rng.uniform(-5, 0, (n_chunks, 3))       # pos min
+    chunk[:, 3:6] = chunk[:, 0:3] + rng.uniform(1, 5, (n_chunks, 3))
+    chunk[:, 6:9] = rng.uniform(-6, -3, (n_chunks, 3))      # log-scale min
+    chunk[:, 9:12] = chunk[:, 6:9] + rng.uniform(0.5, 2, (n_chunks, 3))
+    if with_color_range:
+        chunk[:, 12:15] = 0.0
+        chunk[:, 15:18] = 1.0
+
+    def pack(bits, vals):
+        out = np.zeros(n, np.uint32)
+        shift = 32
+        for b, v in zip(bits, vals):
+            shift -= b
+            q = np.round(v * ((1 << b) - 1)).astype(np.uint32)
+            out |= q << shift
+        return out
+
+    u = rng.uniform(size=(n, 3))
+    packed_pos = pack([11, 10, 11], [u[:, 0], u[:, 1], u[:, 2]])
+    us = rng.uniform(size=(n, 3))
+    packed_scale = pack([11, 10, 11], [us[:, 0], us[:, 1], us[:, 2]])
+    largest = rng.integers(0, 4, n).astype(np.uint32)
+    qc = rng.uniform(0.2, 0.8, (n, 3))
+    q10 = np.round(qc * 1023).astype(np.uint32)
+    packed_rot = (largest << 30) | (q10[:, 0] << 20) | (q10[:, 1] << 10) \
+        | q10[:, 2]
+    uc = rng.uniform(size=(n, 4))
+    packed_col = pack([8, 8, 8, 8], [uc[:, 0], uc[:, 1], uc[:, 2], uc[:, 3]])
+    packed = np.stack([packed_pos, packed_rot, packed_scale, packed_col],
+                      axis=1).astype(np.uint32)
+    return chunk, packed
+
+
+@pytest.mark.skipif(not pn.native_available(), reason="native lib not built")
+@pytest.mark.parametrize("with_color", [True, False])
+def test_native_matches_python(with_color):
+    chunk, packed = make_compressed_arrays(n=2048, with_color_range=with_color)
+    d_native = pn.decode_compressed(chunk, packed, use_native=True)
+    d_python = pn.decode_compressed(chunk, packed, use_native=False)
+    for key in d_native:
+        np.testing.assert_allclose(d_native[key], d_python[key], atol=1e-5,
+                                   err_msg=key)
+    # quaternions are (approximately) unit
+    norms = np.linalg.norm(d_native["quats"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+def write_compressed_ply(path, chunk, packed):
+    n_chunks, cf = chunk.shape
+    n = packed.shape[0]
+    chunk_names = ["min_x", "min_y", "min_z", "max_x", "max_y", "max_z",
+                   "min_scale_x", "min_scale_y", "min_scale_z",
+                   "max_scale_x", "max_scale_y", "max_scale_z",
+                   "min_r", "min_g", "min_b", "max_r", "max_g", "max_b"][:cf]
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element chunk {n_chunks}\n".encode())
+        for nm in chunk_names:
+            f.write(f"property float {nm}\n".encode())
+        f.write(f"element vertex {n}\n".encode())
+        for nm in ("packed_position", "packed_rotation", "packed_scale",
+                   "packed_color"):
+            f.write(f"property uint {nm}\n".encode())
+        f.write(b"end_header\n")
+        f.write(np.ascontiguousarray(chunk, np.float32).tobytes())
+        f.write(np.ascontiguousarray(packed, np.uint32).tobytes())
+
+
+def test_load_compressed_ply_file(tmp_path):
+    chunk, packed = make_compressed_arrays(n=512)
+    p = tmp_path / "scene_compressed.ply"
+    write_compressed_ply(p, chunk, packed)
+    scene = pn.load_compressed_ply(p)
+    assert scene.num_gaussians == 512
+    means = np.asarray(scene.means)
+    # decoded positions live inside the chunk ranges
+    assert means[:, 0].min() >= chunk[:, 0].min() - 1e-4
+    assert means[:, 0].max() <= chunk[:, 3].max() + 1e-4
+    # and the scene renders
+    from sage3d_tpu.renderer.camera import make_camera
+    from sage3d_tpu.renderer.render import render
+    cam = make_camera(position=[0, -8, 1], forward=[0, 1, 0], width=32,
+                      height=32)
+    out = render(scene, cam, backend="xla")
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_extract_columns_native():
+    if not pn.native_available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    n, stride = 1000, 28
+    blob = rng.integers(0, 255, n * stride, dtype=np.uint8)
+    ref = np.frombuffer(blob.tobytes(), dtype=np.uint8).reshape(n, stride)
+    out = pn.extract_columns_native(np.ascontiguousarray(blob), n, stride,
+                                    [0, 8, 20])
+    assert out is not None
+    for i, off in enumerate([0, 8, 20]):
+        expected = ref[:, off:off + 4].copy().view(np.float32).ravel()
+        np.testing.assert_array_equal(out[i], expected)
