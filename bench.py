@@ -11,6 +11,11 @@ Pallas compositor. Prints ONE JSON line:
 The reference publishes no machine-performance numbers (BASELINE.md), so
 vs_baseline reports the speedup of the Pallas kernel path over this repo's own
 naive tiled-XLA path on the identical workload — the honest internal baseline.
+
+Measurement notes (tunneled-TPU discipline): the scene is generated ON DEVICE
+(host->device uploads through the tunnel are slow and would pollute timing);
+iterations are chained inside one jitted lax.fori_loop whose scalar result is
+fetched to host, so asynchronous dispatch cannot fake completion.
 """
 
 import json
@@ -20,74 +25,80 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the 1M-Gaussian programs take minutes to
-# compile on first run; subsequent bench invocations reuse the cache.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"),
+            exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-
-def make_bench_scene(n: int = 1_000_000, seed: int = 0):
-    """InteriorGS-scale synthetic room: 1M small splats in a 10x8x3 m volume."""
-    import numpy as np
-    from sage3d_tpu.renderer.scene import make_scene
-    rng = np.random.default_rng(seed)
-    means = rng.uniform([-5, -4, 0], [5, 4, 3], size=(n, 3)).astype(np.float32)
-    scales = rng.uniform(0.01, 0.05, size=(n, 3)).astype(np.float32)
-    u = rng.uniform(size=(n, 3))
-    quats = np.stack([
-        np.sqrt(u[:, 0]) * np.cos(2 * np.pi * u[:, 2]),
-        np.sqrt(1 - u[:, 0]) * np.sin(2 * np.pi * u[:, 1]),
-        np.sqrt(1 - u[:, 0]) * np.cos(2 * np.pi * u[:, 1]),
-        np.sqrt(u[:, 0]) * np.sin(2 * np.pi * u[:, 2]),
-    ], axis=1).astype(np.float32)
-    opac = rng.uniform(0.2, 0.9, size=n).astype(np.float32)
-    colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
-    sem = rng.integers(0, 200, size=n).astype(np.int32)
-    return make_scene(means, scales, quats, opac, colors=colors,
-                      semantic_ids=sem, sh_degree=0)
+WIDTH, HEIGHT = 1920, 1080
+N_GAUSS = 1_000_000
+PAIR_CAPACITY = 1 << 23
+TILE_CAPACITY = 4096
 
 
-def bench_backend(scene, camera, backend: str, pair_capacity: int,
-                  iters: int = 8):
+def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
+    """InteriorGS-scale synthetic room, generated on device."""
+    from sage3d_tpu.renderer.scene import GaussianScene
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    means = jax.random.uniform(ks[0], (n, 3), jnp.float32,
+                               jnp.array([-5.0, -4.0, 0.0], jnp.float32),
+                               jnp.array([5.0, 4.0, 3.0], jnp.float32))
+    scales = jax.random.uniform(ks[1], (n, 3), jnp.float32, 0.01, 0.05)
+    q = jax.random.normal(ks[2], (n, 4), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    op = jax.random.uniform(ks[3], (n,), jnp.float32, 0.2, 0.9)
+    col = jax.random.uniform(ks[4], (n, 3), jnp.float32)
+    sh = jnp.zeros((n, 1, 3), jnp.float32).at[:, 0, :].set(
+        (col - 0.5) / 0.28209479177387814)
+    sem = jax.random.randint(ks[5], (n,), 0, 200, jnp.int32)
+    return GaussianScene(means=means, log_scales=jnp.log(scales), quats=q,
+                         opacity_logits=jnp.log(op / (1 - op)), sh=sh,
+                         semantic_ids=sem)
+
+
+def bench_backend(scene, camera, backend: str, iters: int = 6):
     from sage3d_tpu.renderer.render import render
 
-    def loss(means, log_scales, quats, opacity_logits, sh):
-        s = scene._replace(means=means, log_scales=log_scales, quats=quats,
-                           opacity_logits=opacity_logits, sh=sh)
-        out = render(s, camera, backend=backend, pair_capacity=pair_capacity,
-                     tile_capacity=2048)
-        return (jnp.sum(out["rgb"] ** 2) + jnp.sum(out["depth_acc"])
-                + jnp.sum(out["alpha"])), out["overflow"]
+    def loss(opacity_logits):
+        s = scene._replace(opacity_logits=opacity_logits)
+        out = render(s, camera, backend=backend, pair_capacity=PAIR_CAPACITY,
+                     tile_capacity=TILE_CAPACITY)
+        return (jnp.sum(out["rgb"] ** 2) * 1e-9
+                + jnp.sum(out["depth_acc"]) * 1e-12
+                + jnp.sum(out["alpha"]) * 1e-12)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
-                                         has_aux=True))
-    args = (scene.means, scene.log_scales, scene.quats, scene.opacity_logits,
-            scene.sh)
-    (l0, overflow), g = grad_fn(*args)    # compile + warm
-    jax.block_until_ready(g)
+    grad = jax.grad(loss)
+
+    @jax.jit
+    def loop(c):
+        def body(i, c):
+            return c + grad(scene.opacity_logits + c * 0)[0]
+        return jax.lax.fori_loop(0, iters, body, c)
+
     t0 = time.time()
-    for _ in range(iters):
-        (_, _), g = grad_fn(*args)
-    jax.block_until_ready(g)
-    dt = (time.time() - t0) / iters
-    mpix = camera.width * camera.height / dt / 1e6
-    return mpix, dt, int(overflow)
+    float(jax.device_get(loop(jnp.float32(0.0))))   # compile + first run
+    compile_s = time.time() - t0
+    t0 = time.time()
+    float(jax.device_get(loop(jnp.float32(0.0))))
+    per_iter = (time.time() - t0) / iters
+    return WIDTH * HEIGHT / per_iter / 1e6, per_iter, compile_s
 
 
 def main():
     from sage3d_tpu.renderer.camera import make_camera
+    from sage3d_tpu.renderer.render import render
 
-    n = 1_000_000
-    scene = make_bench_scene(n)
+    scene = make_bench_scene_device()
     camera = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
-                         width=1920, height=1080, focal_mm=14.0)
-    pair_capacity = 1 << 23
+                         width=WIDTH, height=HEIGHT, focal_mm=14.0)
 
-    pallas_mpix, pallas_dt, ovf_p = bench_backend(scene, camera, "pallas",
-                                                  pair_capacity)
-    xla_mpix, xla_dt, ovf_x = bench_backend(scene, camera, "xla",
-                                            pair_capacity)
+    pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas")
+    xla_mpix, xla_dt, _ = bench_backend(scene, camera, "xla")
+
+    overflow = int(jax.device_get(render(
+        scene, camera, backend="pallas", pair_capacity=PAIR_CAPACITY,
+        tile_capacity=TILE_CAPACITY)["overflow"]))
 
     result = {
         "metric": "mpix_per_s_fwd_bwd_1080p_1m_gauss",
@@ -98,8 +109,8 @@ def main():
             "pallas_step_s": round(pallas_dt, 4),
             "xla_step_s": round(xla_dt, 4),
             "xla_mpix_per_s": round(xla_mpix, 2),
-            "overflow_pairs": ovf_p,
-            "n_gaussians": n,
+            "overflow_pairs": overflow,
+            "n_gaussians": N_GAUSS,
             "device": str(jax.devices()[0]),
         },
     }

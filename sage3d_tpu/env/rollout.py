@@ -1,0 +1,118 @@
+"""Fully-jitted closed-loop rollouts: render + policy + physics in ONE program.
+
+The capability the reference architecture fundamentally cannot have: its step
+loop crosses the Python -> Isaac Sim process boundary every frame and the
+policy lives behind a socket (run_benchmark.py:1331-1698). Here an entire
+N-step episode — camera build, 3DGS render, policy, collision-safe motion,
+capsule queries, metric accumulation — is one `lax.scan` under jit: a single
+device launch per episode, and `vmap` batches whole episodes across a mesh.
+
+The in-graph policy is a depth-aware goal seeker (turn toward goal, brake and
+steer away when the forward depth band is close): enough to produce meaningful
+CR/ICP/PS-style statistics without any external model. External VLM policies
+keep using the per-step env/runner path (`bench/runner.py`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.collision import agent_capsule, capsule_query
+from ..physics.agent import AgentState, apply_cmd, init_agent
+from ..physics.occupancy import OccupancyGrid
+from ..renderer.camera import agent_camera_jnp
+from ..renderer.render import render
+from ..renderer.scene import GaussianScene
+
+
+class RolloutMetrics(NamedTuple):
+    positions: jnp.ndarray        # (N, 3)
+    collisions: jnp.ndarray       # (N,) bool per-step collision flag
+    min_clearance: jnp.ndarray    # (N,) capsule-query clearance
+    goal_distance: jnp.ndarray    # (N,)
+    mean_depth: jnp.ndarray       # (N,) mean rendered forward depth
+
+
+def depth_seek_policy(depth: jnp.ndarray, pos_xy: jnp.ndarray, yaw: jnp.ndarray,
+                      goal_xy: jnp.ndarray, speed: float = 0.4):
+    """Goal pursuit with depth-band obstacle avoidance (pure jnp)."""
+    h, w = depth.shape
+    band = jax.lax.dynamic_slice(depth, (h // 3, 0), (h // 3, w))
+    thirds = w // 3
+    left = jnp.mean(band[:, :thirds])
+    center = jnp.mean(band[:, thirds:2 * thirds])
+    right = jnp.mean(band[:, 2 * thirds:])
+
+    to_goal = goal_xy - pos_xy
+    heading = jnp.arctan2(to_goal[1], to_goal[0])
+    dyaw = jnp.mod(heading - yaw + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    blocked = center < 1.0
+    vx = jnp.where(blocked, 0.05, speed * jnp.clip(center / 3.0, 0.3, 1.0))
+    avoid = jnp.where(left > right, 0.8, -0.8)
+    yaw_rate = jnp.where(blocked, avoid, jnp.clip(dyaw, -0.8, 0.8))
+    return vx, yaw_rate
+
+
+@partial(jax.jit, static_argnames=("n_steps", "width", "height", "backend",
+                                   "pair_capacity", "tile_capacity",
+                                   "use_capsule"))
+def rollout(
+    scene: GaussianScene,
+    grid: OccupancyGrid,
+    start_xy,
+    start_yaw,
+    goal_xy,
+    n_steps: int = 100,
+    width: int = 160,
+    height: int = 120,
+    backend: str = "xla",
+    pair_capacity: int = 1 << 20,
+    tile_capacity: int = 1024,
+    use_capsule: bool = True,
+    duration_s: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Run one fully-on-device episode. Returns final state + step metrics."""
+    goal_xy = jnp.asarray(goal_xy, jnp.float32)
+    state0 = init_agent(jnp.concatenate([jnp.asarray(start_xy, jnp.float32),
+                                         jnp.asarray([0.5], jnp.float32)]),
+                        jnp.asarray(start_yaw, jnp.float32))
+
+    def step(state: AgentState, _):
+        cam = agent_camera_jnp(state.pos[:2], state.yaw, width=width,
+                               height=height)
+        out = render(scene, cam, backend=backend,
+                     pair_capacity=pair_capacity, tile_capacity=tile_capacity)
+        vx, yaw_rate = depth_seek_policy(out["depth"], state.pos[:2],
+                                         state.yaw, goal_xy)
+        new_state = apply_cmd(state, grid, vx, 0.0, yaw_rate, duration_s)
+        if use_capsule:
+            p0, p1, r = agent_capsule(new_state.pos[None, :2])
+            q = capsule_query(scene, p0, p1, r)
+            clearance = q["clearance"][0]
+        else:
+            clearance = jnp.float32(1e9)
+        metrics = RolloutMetrics(
+            positions=new_state.pos,
+            collisions=new_state.collision_detected,
+            min_clearance=clearance,
+            goal_distance=jnp.linalg.norm(new_state.pos[:2] - goal_xy),
+            mean_depth=jnp.mean(out["depth"]),
+        )
+        return new_state, metrics
+
+    final_state, metrics = jax.lax.scan(step, state0, None, length=n_steps)
+    return {
+        "final_pos": final_state.pos,
+        "final_yaw": final_state.yaw,
+        "total_collisions": final_state.total_collisions,
+        "positions": metrics.positions,
+        "collisions": metrics.collisions,
+        "min_clearance": metrics.min_clearance,
+        "goal_distance": metrics.goal_distance,
+        "mean_depth": metrics.mean_depth,
+    }

@@ -3,26 +3,29 @@
 The production rasterizer core (BASELINE.json north star). Same math as
 ops/composite_xla.py, re-scheduled for the TPU memory system:
 
-  * Work is a FLAT list of (tile, 128-Gaussian chunk) slots, depth-ordered and
-    tile-major. The Pallas grid walks the list; per-pair features stream through
-    VMEM via the automatic block pipeline (double-buffered DMA, zero manual
-    semaphores), so HBM traffic is exactly one pass over the binned pair data.
-  * The per-tile output block acts as the accumulator: consecutive slots of the
-    same tile map to the same out block, which Pallas keeps resident in VMEM and
-    flushes once per tile — the classic revisited-block accumulation idiom.
-  * Layout: Gaussians on SUBLANES (128 = chunk), pixels on LANES (1024 = one
-    32x32 tile), so per-pixel state is a compact (1, 1024) row and the
-    front-to-back transmittance scan is a log-step doubling product over
-    sublanes — exact fp32, no log/exp roundtrip, matching the oracle's cumprod
-    bit-for-bit up to reassociation.
-  * Backward is a SINGLE forward-order sweep per tile: the suffix sums the CUDA
+  * Grid = one step per 32x32 tile. Each step walks its depth-ordered pair
+    list in 128-Gaussian chunks with a double-buffered manual DMA pipeline
+    (HBM -> VMEM, semaphores), and STOPS as soon as every pixel of the tile is
+    saturated (transmittance < 1e-4) — the early termination that gives tiled
+    rasterizers their 10-100x win on dense scenes. Skipped chunks are neither
+    fetched nor computed.
+  * Layout chosen for Mosaic's constraints (lane dim of HBM DMA slices must be
+    128-aligned; cross-layout reshapes are unsupported): per-pair features live
+    FEATURE-MAJOR in HBM as (16, P) so a chunk is a (16, 128) block whose rows
+    are ready-to-broadcast (1, 128) lane vectors; the alpha matrix is
+    (1024 pixels on sublanes) x (128 pairs on lanes); front-to-back
+    transmittance is an exact fp32 prefix product over lanes via masked
+    pltpu.roll doubling; per-pixel state is (1024, k) columns and the output
+    block is (1, NPIX, NCH) — no transpose anywhere.
+  * Backward is a SINGLE forward-order sweep per tile: the suffix sums CUDA
     implementations obtain by back-to-front traversal come from the identity
-    B_g = sum_{j>g} c_j w_j = (gbar . acc) - prefix_incl(c w), where acc is the
-    saved forward output — no reverse pass, no stored per-pair state.
-
-Per-pair quadratic coefficients are computed OUTSIDE the kernel (autodiffed
-jnp), so the custom_vjp boundary is exactly the flat compositor; the pair->
-Gaussian scatter-add of gradients falls out of JAX's gather transpose.
+    B_g = sum_{j>g} c_j w_j = (gbar . acc) - prefix_incl(c w), with acc the
+    saved forward output. d(feats) rows reduce over the pixel sublanes and
+    stream back to HBM through the same DMA pipeline into a zero-initialized
+    aliased buffer, so early-terminated tails stay zero.
+  * Per-pair features are built ONCE in pair-major jnp (gathers) — autodiff's
+    gather transpose scatter-adds pair gradients back onto the Gaussians, so
+    the custom_vjp boundary is exactly the flat compositor.
 """
 
 from __future__ import annotations
@@ -39,174 +42,267 @@ from .binning import TILE_H, TILE_W, TileBins
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
 from .composite_xla import quad_coeffs
 
-CHUNK = 128          # Gaussians per slot = sublane count of the alpha matrix
-NPIX = TILE_W * TILE_H  # 1024 pixels per tile = lane count
-NFEAT = 16           # feature rows per pair (padded to a lane-friendly 16)
+CHUNK = 128          # Gaussians per chunk = lane count of the alpha matrix
+NPIX = TILE_W * TILE_H  # 1024 pixels per tile = sublane count
+NFEAT = 16           # feature rows per pair (padded to 16)
 NCH = 8              # out channels: r,g,b,depth,alpha,trans,best_w,best_id
+TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
 
 
-def _iota_pixels():
-    """Tile-local pixel-center coordinate rows, each (1, NPIX)."""
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)  # Mosaic: int iota only
+def _pixel_columns():
+    """Tile-local pixel-center coordinates as (NPIX, 1) sublane columns."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
     px = (pix % TILE_W).astype(jnp.float32) + 0.5
     py = (pix // TILE_W).astype(jnp.float32) + 0.5
     return px, py
 
 
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+
 def _alpha_matrix(co, lane_count):
-    """(CHUNK, NPIX) alpha of each pair at each tile pixel; also raw pre-clamp."""
-    px, py = _iota_pixels()
-    power = (co[:, 0:1]
-             + co[:, 1:2] * px + co[:, 2:3] * py
-             + co[:, 3:4] * (px * px) + co[:, 4:5] * (py * py)
-             + co[:, 5:6] * (px * py))
-    raw = co[:, 6:7] * jnp.exp(jnp.minimum(power, 0.0))
+    """(NPIX, CHUNK) alpha of each pair at each tile pixel; plus raw pre-clamp.
+
+    ``co`` is the (NFEAT, CHUNK) feature block: rows are (1, CHUNK) lane
+    vectors broadcast against the (NPIX, 1) pixel columns.
+    """
+    px, py = _pixel_columns()
+    power = (co[0:1, :]
+             + px * co[1:2, :] + py * co[2:3, :]
+             + (px * px) * co[3:4, :] + (py * py) * co[4:5, :]
+             + (px * py) * co[5:6, :])
+    raw = co[6:7, :] * jnp.exp(jnp.minimum(power, 0.0))
     raw = jnp.where(power > 0.0, 0.0, raw)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    valid = sub < lane_count
-    raw = jnp.where(valid, raw, 0.0)
+    raw = jnp.where(_lane_iota() < lane_count, raw, 0.0)
     alpha = jnp.minimum(raw, ALPHA_MAX)
     alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
     return alpha, raw
 
 
 def _scan_products(one_minus_alpha):
-    """Inclusive prefix product over sublanes via log-step doubling (exact)."""
+    """Inclusive prefix product over lanes via masked roll doubling (exact)."""
     x = one_minus_alpha
+    lane = _lane_iota()
     k = 1
     while k < CHUNK:
-        shifted = jnp.concatenate(
-            [jnp.ones((k, NPIX), x.dtype), x[:-k, :]], axis=0)
-        x = x * shifted
+        rolled = pltpu.roll(x, k, 1)
+        x = x * jnp.where(lane >= k, rolled, 1.0)
         k *= 2
-    return x  # x[g] = prod_{j<=g} (1 - alpha_j)
+    return x  # x[:, g] = prod_{j<=g} (1 - alpha_j)
 
 
 def _scan_sums(v):
-    """Inclusive prefix sum over sublanes via log-step doubling."""
+    """Inclusive prefix sum over lanes via masked roll doubling."""
     x = v
+    lane = _lane_iota()
     k = 1
     while k < CHUNK:
-        shifted = jnp.concatenate(
-            [jnp.zeros((k, NPIX), x.dtype), x[:-k, :]], axis=0)
-        x = x + shifted
+        rolled = pltpu.roll(x, k, 1)
+        x = x + jnp.where(lane >= k, rolled, 0.0)
         k *= 2
     return x
 
 
 def _shift_one(x, fill):
-    return jnp.concatenate(
-        [jnp.full((1, NPIX), fill, x.dtype), x[:-1, :]], axis=0)
+    rolled = pltpu.roll(x, 1, 1)
+    return jnp.where(_lane_iota() >= 1, rolled, fill)
 
 
-def _fwd_kernel(tile_ref, first_ref, lanecnt_ref, feats_ref, out_ref):
-    j = pl.program_id(0)
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
 
-    @pl.when(first_ref[j] == 1)
-    def _init():
-        out_ref[0, 0:5, :] = jnp.zeros((5, NPIX), jnp.float32)
-        out_ref[0, 5:6, :] = jnp.ones((1, NPIX), jnp.float32)      # trans
-        out_ref[0, 6:7, :] = jnp.zeros((1, NPIX), jnp.float32)     # best_w
-        out_ref[0, 7:8, :] = jnp.full((1, NPIX), -1.0, jnp.float32)  # best_id
+def _fwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, out_ref,
+                scratch, sems):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    n_chunks = pl.cdiv(count, CHUNK)
 
-    @pl.when(lanecnt_ref[j] > 0)
-    def _compute():
-        co = feats_ref[:, :]                          # (CHUNK, NFEAT)
-        alpha, _ = _alpha_matrix(co, lanecnt_ref[j])
-        incl = _scan_products(1.0 - alpha)            # (CHUNK, NPIX)
-        excl = _shift_one(incl, 1.0)
-        t_prev = out_ref[0, 5:6, :]                   # (1, NPIX)
-        w = alpha * t_prev * excl
+    def dma(slot, k):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK)],
+            scratch.at[slot], sems.at[slot])
 
-        out_ref[0, 0:1, :] += jnp.sum(w * co[:, 7:8], axis=0, keepdims=True)
-        out_ref[0, 1:2, :] += jnp.sum(w * co[:, 8:9], axis=0, keepdims=True)
-        out_ref[0, 2:3, :] += jnp.sum(w * co[:, 9:10], axis=0, keepdims=True)
-        out_ref[0, 3:4, :] += jnp.sum(w * co[:, 10:11], axis=0, keepdims=True)
-        out_ref[0, 4:5, :] += jnp.sum(w, axis=0, keepdims=True)
-        out_ref[0, 5:6, :] = t_prev * incl[CHUNK - 1:CHUNK, :]
+    @pl.when(n_chunks > 0)
+    def _prefetch():
+        dma(0, 0).start()
 
-        # Semantic: keep the single largest-weight pair (first on ties).
-        best_w = out_ref[0, 6:7, :]
-        cmax = jnp.max(w, axis=0, keepdims=True)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
-        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), sub, CHUNK),
-                            axis=0, keepdims=True)
-        sel = jnp.sum(jnp.where(sub == first_max, co[:, 11:12], 0.0),
-                      axis=0, keepdims=True)
-        better = cmax > best_w
-        out_ref[0, 6:7, :] = jnp.where(better, cmax, best_w)
-        out_ref[0, 7:8, :] = jnp.where(better, sel, out_ref[0, 7:8, :])
+    def cond(carry):
+        k, acc, trans, best_w, best_id = carry
+        return (k < n_chunks) & (jnp.max(trans) > TRANS_EPS)
 
+    def body(carry):
+        k, acc, trans, best_w, best_id = carry
 
-def _bwd_kernel(tile_ref, first_ref, lanecnt_ref, feats_ref, fwd_ref, gout_ref,
-                dfeats_ref, tc_ref, pc_ref):
-    j = pl.program_id(0)
+        @pl.when(k + 1 < n_chunks)
+        def _next():
+            dma((k + 1) % 2, k + 1).start()
 
-    @pl.when(first_ref[j] == 1)
-    def _init():
-        tc_ref[:, :] = jnp.ones((1, NPIX), jnp.float32)   # running transmittance
-        pc_ref[:, :] = jnp.zeros((1, NPIX), jnp.float32)  # running sum of c*w
-
-    dfeats_ref[:, :] = jnp.zeros((CHUNK, NFEAT), jnp.float32)
-
-    @pl.when(lanecnt_ref[j] > 0)
-    def _compute():
-        co = feats_ref[:, :]
-        alpha, raw = _alpha_matrix(co, lanecnt_ref[j])
+        dma(k % 2, k).wait()
+        co = scratch[k % 2]                           # (NFEAT, CHUNK)
+        lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
+        alpha, _ = _alpha_matrix(co, lane_count)      # (NPIX, CHUNK)
         incl = _scan_products(1.0 - alpha)
         excl = _shift_one(incl, 1.0)
-        t_prev = tc_ref[:, :]
-        t_at = t_prev * excl                         # transmittance before each pair
-        w = alpha * t_at
+        w = alpha * trans * excl                      # (NPIX, CHUNK)
 
-        g0 = gout_ref[0, 0:1, :]
-        g1 = gout_ref[0, 1:2, :]
-        g2 = gout_ref[0, 2:3, :]
-        g3 = gout_ref[0, 3:4, :]
-        g4 = gout_ref[0, 4:5, :]
-        g_t = gout_ref[0, 5:6, :]
+        acc = acc + jnp.concatenate([
+            jnp.sum(w * co[7:8, :], axis=1, keepdims=True),
+            jnp.sum(w * co[8:9, :], axis=1, keepdims=True),
+            jnp.sum(w * co[9:10, :], axis=1, keepdims=True),
+            jnp.sum(w * co[10:11, :], axis=1, keepdims=True),
+            jnp.sum(w, axis=1, keepdims=True),
+        ], axis=1)                                    # (NPIX, 5)
 
-        # S(pixel) = gbar . acc over the five blended feature channels.
-        s_pix = (g0 * fwd_ref[0, 0:1, :] + g1 * fwd_ref[0, 1:2, :]
-                 + g2 * fwd_ref[0, 2:3, :] + g3 * fwd_ref[0, 3:4, :]
-                 + g4 * fwd_ref[0, 4:5, :])
-        t_fin = fwd_ref[0, 5:6, :]
+        cmax = jnp.max(w, axis=1, keepdims=True)      # (NPIX, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
+        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), lane, CHUNK),
+                            axis=1, keepdims=True)
+        sel = jnp.sum(jnp.where(lane == first_max, co[11:12, :], 0.0),
+                      axis=1, keepdims=True)
+        better = cmax > best_w
+        best_w = jnp.where(better, cmax, best_w)
+        best_id = jnp.where(better, sel, best_id)
+        trans = trans * incl[:, CHUNK - 1:CHUNK]
+        return k + 1, acc, trans, best_w, best_id
 
-        c = (co[:, 7:8] * g0 + co[:, 8:9] * g1 + co[:, 9:10] * g2
-             + co[:, 10:11] * g3 + g4)               # (CHUNK, NPIX)
+    init = (jnp.int32(0),
+            jnp.zeros((NPIX, 5), jnp.float32),
+            jnp.ones((NPIX, 1), jnp.float32),
+            jnp.zeros((NPIX, 1), jnp.float32),
+            jnp.full((NPIX, 1), -1.0, jnp.float32))
+    k_end, acc, trans, best_w, best_id = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the next chunk's prefetch in flight; drain it so the
+    # semaphore state is clean for the next grid step.
+    @pl.when((k_end >= 1) & (k_end < n_chunks))
+    def _drain_prefetch():
+        dma(k_end % 2, k_end).wait()
+
+    out_ref[0, :, 0:5] = acc
+    out_ref[0, :, 5:6] = trans
+    out_ref[0, :, 6:7] = best_w
+    out_ref[0, :, 7:8] = best_id
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, fwd_ref, gout_ref,
+                dfeats_init_hbm, dfeats_hbm, scratch, dscratch, sems, dsems):
+    del dfeats_init_hbm  # aliased into dfeats_hbm (pre-zeroed)
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    def dma_in(slot, k):
+        return pltpu.make_async_copy(
+            feats_hbm.at[:, pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK)],
+            scratch.at[slot], sems.at[slot])
+
+    def dma_out(slot, k):
+        return pltpu.make_async_copy(
+            dscratch.at[slot],
+            dfeats_hbm.at[:, pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK)],
+            dsems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _prefetch():
+        dma_in(0, 0).start()
+
+    g0 = gout_ref[0, :, 0:1]                          # (NPIX, 1)
+    g1 = gout_ref[0, :, 1:2]
+    g2 = gout_ref[0, :, 2:3]
+    g3 = gout_ref[0, :, 3:4]
+    g4 = gout_ref[0, :, 4:5]
+    g_t = gout_ref[0, :, 5:6]
+    s_pix = (g0 * fwd_ref[0, :, 0:1] + g1 * fwd_ref[0, :, 1:2]
+             + g2 * fwd_ref[0, :, 2:3] + g3 * fwd_ref[0, :, 3:4]
+             + g4 * fwd_ref[0, :, 4:5])
+    t_fin = fwd_ref[0, :, 5:6]
+
+    def cond(carry):
+        k, trans, prefix = carry
+        return (k < n_chunks) & (jnp.max(trans) > TRANS_EPS)
+
+    def body(carry):
+        k, trans, prefix = carry
+
+        @pl.when(k + 1 < n_chunks)
+        def _next():
+            dma_in((k + 1) % 2, k + 1).start()
+
+        dma_in(k % 2, k).wait()
+        # wait for the out-DMA that used this dscratch slot two chunks ago
+        @pl.when(k >= 2)
+        def _drain():
+            dma_out(k % 2, k - 2).wait()
+
+        co = scratch[k % 2]                           # (NFEAT, CHUNK)
+        lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
+        alpha, raw = _alpha_matrix(co, lane_count)
+        incl = _scan_products(1.0 - alpha)
+        excl = _shift_one(incl, 1.0)
+        t_at = trans * excl
+        w = alpha * t_at                              # (NPIX, CHUNK)
+
+        c = (co[7:8, :] * g0 + co[8:9, :] * g1 + co[9:10, :] * g2
+             + co[10:11, :] * g3 + g4)
         cw = c * w
-        incl_cw = pc_ref[:, :] + _scan_sums(cw)
+        incl_cw = prefix + _scan_sums(cw)
         b_suffix = s_pix - incl_cw
         om = 1.0 - alpha
         dalpha = c * t_at - b_suffix / om - g_t * t_fin / om
-
         active = (alpha > 0.0) & (raw <= ALPHA_MAX)
         dalpha = jnp.where(active, dalpha, 0.0)
         dpower = dalpha * alpha
-        # d opacity: alpha = op * exp(power) => dop = dalpha * alpha / op.
-        op = co[:, 6:7]
-        dop = jnp.sum(jnp.where(active, dalpha * alpha, 0.0), axis=1,
+
+        op = co[6:7, :]
+        dop = jnp.sum(dalpha * alpha, axis=0,
                       keepdims=True) / jnp.where(op > 0, op, 1.0)
 
-        px, py = _iota_pixels()
-        d0 = jnp.sum(dpower, axis=1, keepdims=True)
-        d1 = jnp.sum(dpower * px, axis=1, keepdims=True)
-        d2 = jnp.sum(dpower * py, axis=1, keepdims=True)
-        d3 = jnp.sum(dpower * (px * px), axis=1, keepdims=True)
-        d4 = jnp.sum(dpower * (py * py), axis=1, keepdims=True)
-        d5 = jnp.sum(dpower * (px * py), axis=1, keepdims=True)
-        df_r = jnp.sum(g0 * w, axis=1, keepdims=True)
-        df_g = jnp.sum(g1 * w, axis=1, keepdims=True)
-        df_b = jnp.sum(g2 * w, axis=1, keepdims=True)
-        df_d = jnp.sum(g3 * w, axis=1, keepdims=True)
-
-        zeros = jnp.zeros((CHUNK, 1), jnp.float32)
-        dfeats_ref[:, :] = jnp.concatenate(
+        px, py = _pixel_columns()
+        d0 = jnp.sum(dpower, axis=0, keepdims=True)   # (1, CHUNK)
+        d1 = jnp.sum(dpower * px, axis=0, keepdims=True)
+        d2 = jnp.sum(dpower * py, axis=0, keepdims=True)
+        d3 = jnp.sum(dpower * (px * px), axis=0, keepdims=True)
+        d4 = jnp.sum(dpower * (py * py), axis=0, keepdims=True)
+        d5 = jnp.sum(dpower * (px * py), axis=0, keepdims=True)
+        df_r = jnp.sum(g0 * w, axis=0, keepdims=True)
+        df_g = jnp.sum(g1 * w, axis=0, keepdims=True)
+        df_b = jnp.sum(g2 * w, axis=0, keepdims=True)
+        df_d = jnp.sum(g3 * w, axis=0, keepdims=True)
+        zeros = jnp.zeros((1, CHUNK), jnp.float32)
+        dscratch[k % 2] = jnp.concatenate(
             [d0, d1, d2, d3, d4, d5, dop, df_r, df_g, df_b, df_d,
-             zeros, zeros, zeros, zeros, zeros], axis=1)
+             zeros, zeros, zeros, zeros, zeros], axis=0)  # (NFEAT, CHUNK)
+        dma_out(k % 2, k).start()
 
-        tc_ref[:, :] = t_prev * incl[CHUNK - 1:CHUNK, :]
-        pc_ref[:, :] = incl_cw[CHUNK - 1:CHUNK, :]
+        trans = trans * incl[:, CHUNK - 1:CHUNK]
+        prefix = incl_cw[:, CHUNK - 1:CHUNK]
+        return k + 1, trans, prefix
+
+    init = (jnp.int32(0), jnp.ones((NPIX, 1), jnp.float32),
+            jnp.zeros((NPIX, 1), jnp.float32))
+    k_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Early exit leaves the next chunk's input prefetch in flight; drain it.
+    @pl.when((k_end >= 1) & (k_end < n_chunks))
+    def _drain_prefetch():
+        dma_in(k_end % 2, k_end).wait()
+
+    # drain the last (up to two) in-flight output DMAs
+    @pl.when(k_end >= 2)
+    def _d1():
+        dma_out(k_end % 2, k_end - 2).wait()
+
+    @pl.when(k_end >= 1)
+    def _d2():
+        dma_out((k_end - 1) % 2, k_end - 1).wait()
 
 
 def _use_interpret() -> bool:
@@ -214,63 +310,67 @@ def _use_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _get_flat_composite(n_slots: int, n_tiles: int, interpret: bool):
-    """custom_vjp'd flat compositor for a static (slots, tiles) configuration."""
-    out_rows = n_tiles + 1  # last row = dummy tile for padding slots
+def _get_flat_composite(n_tiles: int, p_al: int, interpret: bool):
+    """custom_vjp'd flat compositor for a static (tiles, capacity) config."""
 
-    grid_fwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_slots,),
-        in_specs=[
-            pl.BlockSpec((CHUNK, NFEAT), lambda j, t, f, c: (j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, NCH, NPIX), lambda j, t, f, c: (t[j], 0, 0)),
-    )
-
-    def fwd_call(feats_al, tile_of, first_flag, lane_count):
+    def fwd_call(feats_t, tile_start, tile_count):
+        grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, NPIX, NCH), lambda t, s, c: (t, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
         return pl.pallas_call(
             _fwd_kernel,
-            grid_spec=grid_fwd,
-            out_shape=jax.ShapeDtypeStruct((out_rows, NCH, NPIX), jnp.float32),
+            grid_spec=grid,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, NPIX, NCH), jnp.float32),
             interpret=interpret,
-        )(tile_of, first_flag, lane_count, feats_al)
+        )(tile_start, tile_count, feats_t)
 
-    grid_bwd = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_slots,),
-        in_specs=[
-            pl.BlockSpec((CHUNK, NFEAT), lambda j, t, f, c: (j, 0)),
-            pl.BlockSpec((1, NCH, NPIX), lambda j, t, f, c: (t[j], 0, 0)),
-            pl.BlockSpec((1, NCH, NPIX), lambda j, t, f, c: (t[j], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((CHUNK, NFEAT), lambda j, t, f, c: (j, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((1, NPIX), jnp.float32),
-            pltpu.VMEM((1, NPIX), jnp.float32),
-        ],
-    )
-
-    def bwd_call(feats_al, tile_of, first_flag, lane_count, fwd_out, gout):
+    def bwd_call(feats_t, tile_start, tile_count, fwd_out, gout):
+        grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, NPIX, NCH), lambda t, s, c: (t, 0, 0)),
+                pl.BlockSpec((1, NPIX, NCH), lambda t, s, c: (t, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        zeros = jnp.zeros_like(feats_t)
         return pl.pallas_call(
             _bwd_kernel,
-            grid_spec=grid_bwd,
-            out_shape=jax.ShapeDtypeStruct(feats_al.shape, jnp.float32),
+            grid_spec=grid,
+            out_shape=jax.ShapeDtypeStruct(feats_t.shape, jnp.float32),
+            input_output_aliases={5: 0},  # zeros arg (incl. prefetch) -> out
             interpret=interpret,
-        )(tile_of, first_flag, lane_count, feats_al, fwd_out, gout)
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(tile_start, tile_count, feats_t, fwd_out, gout, zeros)
 
     @jax.custom_vjp
-    def flat_composite(feats_al, tile_of, first_flag, lane_count):
-        return fwd_call(feats_al, tile_of, first_flag, lane_count)
+    def flat_composite(feats_t, tile_start, tile_count):
+        return fwd_call(feats_t, tile_start, tile_count)
 
-    def _fwd(feats_al, tile_of, first_flag, lane_count):
-        out = fwd_call(feats_al, tile_of, first_flag, lane_count)
-        return out, (feats_al, tile_of, first_flag, lane_count, out)
+    def _fwd(feats_t, tile_start, tile_count):
+        out = fwd_call(feats_t, tile_start, tile_count)
+        return out, (feats_t, tile_start, tile_count, out)
 
     def _bwd(res, gout):
-        feats_al, tile_of, first_flag, lane_count, fwd_out = res
-        dfeats = bwd_call(feats_al, tile_of, first_flag, lane_count, fwd_out,
-                          gout)
-        return dfeats, None, None, None
+        feats_t, tile_start, tile_count, fwd_out = res
+        dfeats = bwd_call(feats_t, tile_start, tile_count, fwd_out, gout)
+        return dfeats, None, None
 
     flat_composite.defvjp(_fwd, _bwd)
     return flat_composite
@@ -283,72 +383,52 @@ def composite_tiles_pallas(
     bins: TileBins,
     width: int,
     height: int,
-    tile_capacity: int = 1024,
+    tile_capacity: int = 4096,
 ) -> Dict[str, jnp.ndarray]:
     """Composite via the Pallas kernels. Same output schema as composite_tiles."""
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     n_tiles = tiles_x * tiles_y
     pair_capacity = bins.pair_gauss.shape[0]
-    n_slots = n_tiles + pair_capacity // CHUNK
 
+    # 128-aligned per-tile pair layout (Mosaic DMA lane alignment) with
+    # feature-major storage. The whole build is autodiffed jnp — its gather
+    # transpose scatter-adds pair gradients back onto the Gaussians.
     count_c = jnp.minimum(bins.tile_count, tile_capacity)
-    n_chunks_t = jnp.maximum(-(-count_c // CHUNK), 1)   # >=1: every tile visited
-    chunk_end = jnp.cumsum(n_chunks_t)
-    chunk_start = chunk_end - n_chunks_t
-    total_chunks = chunk_end[-1]
+    padded_counts = -(-count_c // CHUNK) * CHUNK
+    aligned_end = jnp.cumsum(padded_counts)
+    aligned_start = (aligned_end - padded_counts).astype(jnp.int32)
+    p_al = (-(-pair_capacity // CHUNK)) * CHUNK + CHUNK * n_tiles  # static
 
-    slots = jnp.arange(n_slots, dtype=jnp.int32)
-    valid_slot = slots < total_chunks
-    tile_of = jnp.clip(jnp.searchsorted(chunk_end, slots, side="right"),
-                       0, n_tiles - 1).astype(jnp.int32)
-    chunk_in_tile = slots - chunk_start[tile_of]
-    tile_of = jnp.where(valid_slot, tile_of, n_tiles)
-    first_flag = jnp.where((chunk_in_tile == 0) | ~valid_slot, 1, 0).astype(jnp.int32)
-    lane_count = jnp.where(
-        valid_slot,
-        jnp.clip(count_c[jnp.clip(tile_of, 0, n_tiles - 1)]
-                 - chunk_in_tile * CHUNK, 0, CHUNK),
-        0).astype(jnp.int32)
+    pos = jnp.arange(p_al, dtype=jnp.int32)
+    tile_of_pos = jnp.clip(
+        jnp.searchsorted(aligned_end, pos, side="right"),
+        0, n_tiles - 1).astype(jnp.int32)
+    within = pos - aligned_start[tile_of_pos]
+    valid = (pos < aligned_end[-1]) & (within < count_c[tile_of_pos])
+    orig = jnp.clip(bins.tile_start[tile_of_pos] + within, 0,
+                    pair_capacity - 1)
+    g = jnp.where(valid, bins.pair_gauss[orig], 0)            # (P_al,)
 
-    # Gather per-slot pair windows and build tile-local features (autodiffed:
-    # the transpose of this gather scatter-adds pair grads back to Gaussians).
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    pair_idx = bins.tile_start[jnp.clip(tile_of, 0, n_tiles - 1)][:, None] \
-        + chunk_in_tile[:, None] * CHUNK + lane
-    lvalid = lane < lane_count[:, None]
-    pair_idx = jnp.clip(pair_idx, 0, pair_capacity - 1)
-    g = jnp.where(lvalid, bins.pair_gauss[pair_idx], 0)       # (S, CHUNK)
+    origin = jnp.stack([
+        (tile_of_pos % tiles_x).astype(jnp.float32) * TILE_W,
+        (tile_of_pos // tiles_x).astype(jnp.float32) * TILE_H], axis=-1)
+    means_l = proj.means2d[g] - origin
+    coeffs = quad_coeffs(means_l, proj.conics[g])             # (P_al, 6)
+    feats_t = jnp.concatenate([
+        coeffs.T,
+        jnp.where(valid, proj.opacities[g], 0.0)[None, :],
+        proj.colors[g].T,
+        proj.depths[g][None, :],
+        semantic_ids[g].astype(jnp.float32)[None, :],
+        jnp.zeros((4, p_al), jnp.float32),
+    ], axis=0)                                                # (16, P_al)
 
-    tile_col = (tile_of % tiles_x).astype(jnp.float32) * TILE_W
-    tile_row = (jnp.clip(tile_of, 0, n_tiles - 1) // tiles_x).astype(jnp.float32) * TILE_H
-    origin = jnp.stack([tile_col, tile_row], axis=-1)          # (S, 2)
+    flat = _get_flat_composite(n_tiles, p_al, _use_interpret())
+    out = flat(feats_t, aligned_start, count_c.astype(jnp.int32))
 
-    means_l = proj.means2d[g] - origin[:, None, :]
-    coeffs = quad_coeffs(means_l, proj.conics[g])              # (S, CHUNK, 6)
-    opac = jnp.where(lvalid, proj.opacities[g], 0.0)
-    feats = jnp.concatenate([
-        coeffs,
-        opac[..., None],
-        proj.colors[g],
-        proj.depths[g][..., None],
-        semantic_ids[g].astype(jnp.float32)[..., None],
-        jnp.zeros(g.shape + (4,), jnp.float32),
-    ], axis=-1)                                                # (S, CHUNK, 16)
-    feats_al = feats.reshape(n_slots * CHUNK, NFEAT)
-
-    flat = _get_flat_composite(n_slots, n_tiles, _use_interpret())
-    out = flat(feats_al, tile_of, first_flag, lane_count)      # (T+1, 8, NPIX)
-    out = out[:n_tiles]
-
-    def untile(x):
-        c = x.shape[-1] if x.ndim == 3 else 1
-        x = x.reshape(tiles_y, tiles_x, TILE_H, TILE_W, c)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE_H, tiles_x * TILE_W, c)
-        return x[:height, :width]
-
-    imgs = out.reshape(n_tiles, NCH, TILE_H, TILE_W).transpose(0, 2, 3, 1)
-    imgs = imgs.reshape(tiles_y, tiles_x, TILE_H, TILE_W, NCH)
-    imgs = imgs.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE_H, tiles_x * TILE_W, NCH)
+    imgs = out.reshape(tiles_y, tiles_x, TILE_H, TILE_W, NCH)
+    imgs = imgs.transpose(0, 2, 1, 3, 4).reshape(
+        tiles_y * TILE_H, tiles_x * TILE_W, NCH)
     imgs = imgs[:height, :width]
 
     return {
@@ -357,5 +437,6 @@ def composite_tiles_pallas(
         "alpha": imgs[..., 4],
         "trans": imgs[..., 5],
         "semantic": jax.lax.stop_gradient(imgs[..., 7]).astype(jnp.int32),
-        "tile_overflow": jnp.sum(jnp.maximum(bins.tile_count - tile_capacity, 0)),
+        "tile_overflow": jnp.sum(jnp.maximum(bins.tile_count - tile_capacity,
+                                             0)),
     }

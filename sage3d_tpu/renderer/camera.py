@@ -151,6 +151,43 @@ def agent_camera(
     return make_camera(pos, forward, width, height, focal_mm=focal_mm, **kw)
 
 
+def agent_camera_jnp(
+    agent_xy,
+    yaw,
+    width: int = 640,
+    height: int = 480,
+    focal_mm: float = 8.0,
+    camera_height: float = AGENT_CAMERA_HEIGHT_M,
+    pitch: float = AGENT_CAMERA_PITCH_RAD,
+    horizontal_aperture_mm: float = DEFAULT_HORIZONTAL_APERTURE_MM,
+    near: float = 0.1,
+    far: float = 50.0,
+) -> Camera:
+    """Traced-argument agent camera: position/yaw may be jnp scalars, so the
+    camera can be built INSIDE jit (fully on-device rollouts, batched sweeps).
+
+    Matches agent_camera()'s geometry (z-up world, camera +y = image down).
+    """
+    agent_xy = jnp.asarray(agent_xy, jnp.float32)
+    yaw = jnp.asarray(yaw, jnp.float32)
+    cy_, sy_ = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(jnp.float32(pitch)), jnp.sin(jnp.float32(pitch))
+    forward = jnp.stack([cy_ * cp, sy_ * cp, -sp])
+    # right = normalize(forward x up); z-up world => right = (sin, -cos, 0)
+    right = jnp.stack([sy_, -cy_, jnp.float32(0.0)])
+    down = jnp.cross(forward, right)
+    R = jnp.stack([right, down, forward], axis=1)
+    fx = width * focal_mm / horizontal_aperture_mm
+    return Camera(
+        position=jnp.stack([agent_xy[0], agent_xy[1],
+                            jnp.float32(camera_height)]),
+        cam_to_world=R,
+        fx=jnp.float32(fx), fy=jnp.float32(fx),
+        cx=jnp.float32(width / 2.0), cy=jnp.float32(height / 2.0),
+        width=int(width), height=int(height), near=near, far=far,
+    )
+
+
 def camera_rays_yaw(camera: Camera) -> jnp.ndarray:
     """Yaw of the camera's forward axis in the world xy-plane (for policies)."""
     f = camera.cam_to_world[..., :, 2]

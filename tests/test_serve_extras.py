@@ -1,0 +1,81 @@
+"""Fault injection, stateful adapter, profiling utilities."""
+
+import numpy as np
+
+from sage3d_tpu.serve.chaos import FlakyPolicy, PolicyFault
+from sage3d_tpu.serve.stateful_adapter import (StatefulVLNAdapter,
+                                               action_to_velocity,
+                                               parse_motion_text)
+
+
+def test_parse_motion_text():
+    assert parse_motion_text("move forward 75 cm") == ["MOVE_FORWARD"] * 3
+    assert parse_motion_text("move forward 25 cm") == ["MOVE_FORWARD"]
+    assert parse_motion_text("turn left 60 degree") == ["TURN_LEFT"] * 2
+    assert parse_motion_text("turn right 30 degree") == ["TURN_RIGHT"]
+    assert parse_motion_text("we are done") == ["STOP"]
+    assert parse_motion_text("???") == ["MOVE_FORWARD"]
+    # queue capped at 3
+    assert len(parse_motion_text("move forward 500 cm")) == 3
+
+
+def test_action_to_velocity():
+    v = action_to_velocity("MOVE_FORWARD")
+    assert v["vx"] == 0.25 and not v["stop"]
+    v = action_to_velocity("TURN_LEFT")
+    assert v["yaw_rate"] > 0
+    assert action_to_velocity("STOP")["stop"]
+
+
+def test_stateful_adapter_queue_and_reset():
+    calls = []
+
+    def model(frames, instruction):
+        calls.append(len(frames))
+        return "move forward 75 cm"
+
+    ad = StatefulVLNAdapter(model)
+    assert ad.generate_response(["f1"], "go") == "MOVE_FORWARD"
+    # two queued actions drain WITHOUT calling the model again
+    assert ad.generate_response(["f2"], "go") == "MOVE_FORWARD"
+    assert ad.generate_response(["f3"], "go") == "MOVE_FORWARD"
+    assert len(calls) == 1
+    # queue empty -> model called with full history
+    ad.generate_response(["f4"], "go")
+    assert calls[-1] == 4
+    ad.reset()
+    assert ad.frame_history == [] and ad.pending == []
+
+
+def test_flaky_policy_runner_resilience():
+    """The runner must survive a 60%-faulty policy and still finish."""
+    from sage3d_tpu.bench.runner import run_episode
+    from sage3d_tpu.env.vln_env import GaussianVLNEnv
+    from sage3d_tpu.renderer.scene import synthetic_room
+    from tests.test_bench_harness import make_gvln_json
+    import tempfile
+    from pathlib import Path
+    from sage3d_tpu.bench.episodes import adapt_gvln_to_episodes
+
+    with tempfile.TemporaryDirectory() as td:
+        traj, mp = make_gvln_json(Path(td))
+        env = GaussianVLNEnv(synthetic_room(120, seed=3), map_json=str(mp),
+                             width=48, height=48, backend="xla")
+        ep = adapt_gvln_to_episodes(traj, "x.ply")[0]
+
+        def base(images, instruction, current_yaw=0.0, depth_images=None, **kw):
+            return {"vx": 0.3, "vy": 0.0, "yaw_rate": 0.0, "duration_s": 1.0,
+                    "stop": False}
+
+        flaky = FlakyPolicy(base, fault_rate=0.6, seed=7)
+        rec = run_episode(env, ep, flaky, max_steps=8)
+        assert rec["episode_info"]["steps_run"] >= 1
+        assert flaky.faults_injected > 0
+        assert "measurements" in rec   # episode completed despite faults
+
+
+def test_render_cost_model():
+    from sage3d_tpu.utils.profiling import render_cost_model
+    m = render_cost_model(1_000_000, 1920, 1080, 6_000_000)
+    assert m["total_flops"] > 0 and m["total_bytes"] > 0
+    assert m["compositing"]["flops"] > m["projection"]["flops"]
