@@ -60,27 +60,30 @@ def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
 def bench_backend(scene, camera, backend: str, iters: int = 6):
     from sage3d_tpu.renderer.render import render
 
-    def loss(opacity_logits):
-        s = scene._replace(opacity_logits=opacity_logits)
+    # NOTE: the scene must be an ARGUMENT of the jitted program — closing over
+    # it would bake 250MB of constants into the HLO (enormous compiles, and
+    # the tunneled compile service rejects oversized modules).
+    def loss(opacity_logits, s, c):
+        s = s._replace(opacity_logits=opacity_logits + c * 0)
         out = render(s, camera, backend=backend, pair_capacity=PAIR_CAPACITY,
                      tile_capacity=TILE_CAPACITY)
         return (jnp.sum(out["rgb"] ** 2) * 1e-9
                 + jnp.sum(out["depth_acc"]) * 1e-12
                 + jnp.sum(out["alpha"]) * 1e-12)
 
-    grad = jax.grad(loss)
+    grad = jax.grad(loss, argnums=0)
 
     @jax.jit
-    def loop(c):
+    def loop(s, c):
         def body(i, c):
-            return c + grad(scene.opacity_logits + c * 0)[0]
+            return c + grad(s.opacity_logits, s, c)[0]
         return jax.lax.fori_loop(0, iters, body, c)
 
     t0 = time.time()
-    float(jax.device_get(loop(jnp.float32(0.0))))   # compile + first run
+    float(jax.device_get(loop(scene, jnp.float32(0.0))))   # compile + run
     compile_s = time.time() - t0
     t0 = time.time()
-    float(jax.device_get(loop(jnp.float32(0.0))))
+    float(jax.device_get(loop(scene, jnp.float32(0.0))))
     per_iter = (time.time() - t0) / iters
     return WIDTH * HEIGHT / per_iter / 1e6, per_iter, compile_s
 

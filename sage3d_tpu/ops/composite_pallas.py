@@ -9,14 +9,14 @@ ops/composite_xla.py, re-scheduled for the TPU memory system:
     saturated (transmittance < 1e-4) — the early termination that gives tiled
     rasterizers their 10-100x win on dense scenes. Skipped chunks are neither
     fetched nor computed.
-  * Layout chosen for Mosaic's constraints (lane dim of HBM DMA slices must be
-    128-aligned; cross-layout reshapes are unsupported): per-pair features live
-    FEATURE-MAJOR in HBM as (16, P) so a chunk is a (16, 128) block whose rows
-    are ready-to-broadcast (1, 128) lane vectors; the alpha matrix is
-    (1024 pixels on sublanes) x (128 pairs on lanes); front-to-back
-    transmittance is an exact fp32 prefix product over lanes via masked
-    pltpu.roll doubling; per-pixel state is (1024, k) columns and the output
-    block is (1, NPIX, NCH) — no transpose anywhere.
+  * Layout chosen for Mosaic's constraints and vreg efficiency: per-pair
+    features live FEATURE-MAJOR in HBM as (16, P) (lane dim of HBM DMA slices
+    must be 128-aligned), each (16, 128) chunk block is transposed in-VMEM to
+    (128, 16); the alpha matrix is (128 pairs on SUBLANES) x (1024 pixels on
+    LANES), so every per-pixel state row is a dense (1, 1024) vector (8 vregs,
+    no lane padding) and the out block is a dense (NCH, NPIX). Front-to-back
+    transmittance is an exact fp32 prefix product over sublanes via masked
+    pltpu.roll doubling.
   * Backward is a SINGLE forward-order sweep per tile: the suffix sums CUDA
     implementations obtain by back-to-front traversal come from the identity
     B_g = sum_{j>g} c_j w_j = (gbar . acc) - prefix_incl(c w), with acc the
@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE_H, TILE_W, TileBins
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
-from .composite_xla import quad_coeffs
 
 CHUNK = 128          # Gaussians per chunk = lane count of the alpha matrix
 NPIX = TILE_W * TILE_H  # 1024 pixels per tile = sublane count
@@ -49,76 +48,89 @@ NCH = 8              # out channels: r,g,b,depth,alpha,trans,best_w,best_id
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
 
 
-def _pixel_columns():
-    """Tile-local pixel-center coordinates as (NPIX, 1) sublane columns."""
-    pix = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+def _pixel_rows():
+    """Tile-local pixel-center coordinates as (1, NPIX) lane rows."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
     px = (pix % TILE_W).astype(jnp.float32) + 0.5
     py = (pix // TILE_W).astype(jnp.float32) + 0.5
     return px, py
 
 
-def _lane_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+def _sub_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
 
-def _alpha_matrix(co, lane_count):
-    """(NPIX, CHUNK) alpha of each pair at each tile pixel; plus raw pre-clamp.
+def _alpha_matrix(co_t, lane_count, ox, oy):
+    """(CHUNK, NPIX) alpha of each pair at each tile pixel; plus raw pre-clamp.
 
-    ``co`` is the (NFEAT, CHUNK) feature block: rows are (1, CHUNK) lane
-    vectors broadcast against the (NPIX, 1) pixel columns.
+    ``co_t`` is the transposed (CHUNK, NFEAT) attribute block — columns are
+    (CHUNK, 1) sublane vectors broadcast against the (1, NPIX) pixel rows:
+    [a, b, c (conic), Cx, Cy (GLOBAL screen mean), opacity, r, g, b, depth,
+    sem, pad...]. The tile-LOCAL quadratic coefficients are derived here from
+    the tile origin (ox, oy): attributes are therefore purely per-Gaussian,
+    so the host-side build is ONE row-gather instead of per-pair math.
+    Pairs on sublanes / pixels on lanes keeps per-pixel state rows dense.
     """
-    px, py = _pixel_columns()
-    power = (co[0:1, :]
-             + px * co[1:2, :] + py * co[2:3, :]
-             + (px * px) * co[3:4, :] + (py * py) * co[4:5, :]
-             + (px * py) * co[5:6, :])
-    raw = co[6:7, :] * jnp.exp(jnp.minimum(power, 0.0))
+    a = co_t[:, 0:1]
+    b = co_t[:, 1:2]
+    c = co_t[:, 2:3]
+    cx = co_t[:, 3:4] - ox
+    cy = co_t[:, 4:5] - oy
+    w0 = -0.5 * (a * cx * cx + c * cy * cy) - b * cx * cy
+    wx = a * cx + b * cy
+    wy = c * cy + b * cx
+    px, py = _pixel_rows()
+    power = (w0 + wx * px + wy * py
+             - 0.5 * a * (px * px) - 0.5 * c * (py * py) - b * (px * py))
+    raw = co_t[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
     raw = jnp.where(power > 0.0, 0.0, raw)
-    raw = jnp.where(_lane_iota() < lane_count, raw, 0.0)
+    raw = jnp.where(_sub_iota() < lane_count, raw, 0.0)
     alpha = jnp.minimum(raw, ALPHA_MAX)
     alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
     return alpha, raw
 
 
 def _scan_products(one_minus_alpha):
-    """Inclusive prefix product over lanes via masked roll doubling (exact)."""
+    """Inclusive prefix product over sublanes via masked roll doubling."""
     x = one_minus_alpha
-    lane = _lane_iota()
+    sub = _sub_iota()
     k = 1
     while k < CHUNK:
-        rolled = pltpu.roll(x, k, 1)
-        x = x * jnp.where(lane >= k, rolled, 1.0)
+        rolled = pltpu.roll(x, k, 0)
+        x = x * jnp.where(sub >= k, rolled, 1.0)
         k *= 2
-    return x  # x[:, g] = prod_{j<=g} (1 - alpha_j)
+    return x  # x[g, :] = prod_{j<=g} (1 - alpha_j)
 
 
 def _scan_sums(v):
-    """Inclusive prefix sum over lanes via masked roll doubling."""
+    """Inclusive prefix sum over sublanes via masked roll doubling."""
     x = v
-    lane = _lane_iota()
+    sub = _sub_iota()
     k = 1
     while k < CHUNK:
-        rolled = pltpu.roll(x, k, 1)
-        x = x + jnp.where(lane >= k, rolled, 0.0)
+        rolled = pltpu.roll(x, k, 0)
+        x = x + jnp.where(sub >= k, rolled, 0.0)
         k *= 2
     return x
 
 
 def _shift_one(x, fill):
-    rolled = pltpu.roll(x, 1, 1)
-    return jnp.where(_lane_iota() >= 1, rolled, fill)
+    rolled = pltpu.roll(x, 1, 0)
+    return jnp.where(_sub_iota() >= 1, rolled, fill)
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, out_ref,
+def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
                 scratch, sems):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
+    ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma(slot, k):
         return pltpu.make_async_copy(
@@ -141,38 +153,38 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, out_ref,
             dma((k + 1) % 2, k + 1).start()
 
         dma(k % 2, k).wait()
-        co = scratch[k % 2]                           # (NFEAT, CHUNK)
+        co_t = jnp.transpose(scratch[k % 2], (1, 0))  # (CHUNK, NFEAT)
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
-        alpha, _ = _alpha_matrix(co, lane_count)      # (NPIX, CHUNK)
+        alpha, _ = _alpha_matrix(co_t, lane_count, ox, oy)  # (CHUNK, NPIX)
         incl = _scan_products(1.0 - alpha)
         excl = _shift_one(incl, 1.0)
-        w = alpha * trans * excl                      # (NPIX, CHUNK)
+        w = alpha * trans * excl                      # (CHUNK, NPIX)
 
         acc = acc + jnp.concatenate([
-            jnp.sum(w * co[7:8, :], axis=1, keepdims=True),
-            jnp.sum(w * co[8:9, :], axis=1, keepdims=True),
-            jnp.sum(w * co[9:10, :], axis=1, keepdims=True),
-            jnp.sum(w * co[10:11, :], axis=1, keepdims=True),
-            jnp.sum(w, axis=1, keepdims=True),
-        ], axis=1)                                    # (NPIX, 5)
+            jnp.sum(w * co_t[:, 6:7], axis=0, keepdims=True),
+            jnp.sum(w * co_t[:, 7:8], axis=0, keepdims=True),
+            jnp.sum(w * co_t[:, 8:9], axis=0, keepdims=True),
+            jnp.sum(w * co_t[:, 9:10], axis=0, keepdims=True),
+            jnp.sum(w, axis=0, keepdims=True),
+        ], axis=0)                                    # (5, NPIX)
 
-        cmax = jnp.max(w, axis=1, keepdims=True)      # (NPIX, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
-        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), lane, CHUNK),
-                            axis=1, keepdims=True)
-        sel = jnp.sum(jnp.where(lane == first_max, co[11:12, :], 0.0),
-                      axis=1, keepdims=True)
+        cmax = jnp.max(w, axis=0, keepdims=True)      # (1, NPIX)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), sub, CHUNK),
+                            axis=0, keepdims=True)
+        sel = jnp.sum(jnp.where(sub == first_max, co_t[:, 10:11], 0.0),
+                      axis=0, keepdims=True)
         better = cmax > best_w
         best_w = jnp.where(better, cmax, best_w)
         best_id = jnp.where(better, sel, best_id)
-        trans = trans * incl[:, CHUNK - 1:CHUNK]
+        trans = trans * incl[CHUNK - 1:CHUNK, :]
         return k + 1, acc, trans, best_w, best_id
 
     init = (jnp.int32(0),
-            jnp.zeros((NPIX, 5), jnp.float32),
-            jnp.ones((NPIX, 1), jnp.float32),
-            jnp.zeros((NPIX, 1), jnp.float32),
-            jnp.full((NPIX, 1), -1.0, jnp.float32))
+            jnp.zeros((5, NPIX), jnp.float32),
+            jnp.ones((1, NPIX), jnp.float32),
+            jnp.zeros((1, NPIX), jnp.float32),
+            jnp.full((1, NPIX), -1.0, jnp.float32))
     k_end, acc, trans, best_w, best_id = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the next chunk's prefetch in flight; drain it so the
@@ -181,23 +193,26 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, out_ref,
     def _drain_prefetch():
         dma(k_end % 2, k_end).wait()
 
-    out_ref[0, :, 0:5] = acc
-    out_ref[0, :, 5:6] = trans
-    out_ref[0, :, 6:7] = best_w
-    out_ref[0, :, 7:8] = best_id
+    out_ref[0, 0:5, :] = acc
+    out_ref[0, 5:6, :] = trans
+    out_ref[0, 6:7, :] = best_w
+    out_ref[0, 7:8, :] = best_id
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, fwd_ref, gout_ref,
-                dfeats_init_hbm, dfeats_hbm, scratch, dscratch, sems, dsems):
+def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, fwd_ref,
+                gout_ref, dfeats_init_hbm, dfeats_hbm, scratch, dscratch,
+                sems, dsems):
     del dfeats_init_hbm  # aliased into dfeats_hbm (pre-zeroed)
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
+    ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma_in(slot, k):
         return pltpu.make_async_copy(
@@ -214,16 +229,16 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, fwd_ref, gout_ref,
     def _prefetch():
         dma_in(0, 0).start()
 
-    g0 = gout_ref[0, :, 0:1]                          # (NPIX, 1)
-    g1 = gout_ref[0, :, 1:2]
-    g2 = gout_ref[0, :, 2:3]
-    g3 = gout_ref[0, :, 3:4]
-    g4 = gout_ref[0, :, 4:5]
-    g_t = gout_ref[0, :, 5:6]
-    s_pix = (g0 * fwd_ref[0, :, 0:1] + g1 * fwd_ref[0, :, 1:2]
-             + g2 * fwd_ref[0, :, 2:3] + g3 * fwd_ref[0, :, 3:4]
-             + g4 * fwd_ref[0, :, 4:5])
-    t_fin = fwd_ref[0, :, 5:6]
+    g0 = gout_ref[0, 0:1, :]                          # (1, NPIX)
+    g1 = gout_ref[0, 1:2, :]
+    g2 = gout_ref[0, 2:3, :]
+    g3 = gout_ref[0, 3:4, :]
+    g4 = gout_ref[0, 4:5, :]
+    g_t = gout_ref[0, 5:6, :]
+    s_pix = (g0 * fwd_ref[0, 0:1, :] + g1 * fwd_ref[0, 1:2, :]
+             + g2 * fwd_ref[0, 2:3, :] + g3 * fwd_ref[0, 3:4, :]
+             + g4 * fwd_ref[0, 4:5, :])
+    t_fin = fwd_ref[0, 5:6, :]
 
     def cond(carry):
         k, trans, prefix = carry
@@ -242,16 +257,16 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, fwd_ref, gout_ref,
         def _drain():
             dma_out(k % 2, k - 2).wait()
 
-        co = scratch[k % 2]                           # (NFEAT, CHUNK)
+        co_t = jnp.transpose(scratch[k % 2], (1, 0))  # (CHUNK, NFEAT)
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
-        alpha, raw = _alpha_matrix(co, lane_count)
+        alpha, raw = _alpha_matrix(co_t, lane_count, ox, oy)
         incl = _scan_products(1.0 - alpha)
         excl = _shift_one(incl, 1.0)
         t_at = trans * excl
-        w = alpha * t_at                              # (NPIX, CHUNK)
+        w = alpha * t_at                              # (CHUNK, NPIX)
 
-        c = (co[7:8, :] * g0 + co[8:9, :] * g1 + co[9:10, :] * g2
-             + co[10:11, :] * g3 + g4)
+        c = (co_t[:, 6:7] * g0 + co_t[:, 7:8] * g1 + co_t[:, 8:9] * g2
+             + co_t[:, 9:10] * g3 + g4)
         cw = c * w
         incl_cw = prefix + _scan_sums(cw)
         b_suffix = s_pix - incl_cw
@@ -261,33 +276,39 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, feats_hbm, fwd_ref, gout_ref,
         dalpha = jnp.where(active, dalpha, 0.0)
         dpower = dalpha * alpha
 
-        op = co[6:7, :]
-        dop = jnp.sum(dalpha * alpha, axis=0,
+        op = co_t[:, 5:6]
+        dop = jnp.sum(dalpha * alpha, axis=1,
                       keepdims=True) / jnp.where(op > 0, op, 1.0)
 
-        px, py = _pixel_columns()
-        d0 = jnp.sum(dpower, axis=0, keepdims=True)   # (1, CHUNK)
-        d1 = jnp.sum(dpower * px, axis=0, keepdims=True)
-        d2 = jnp.sum(dpower * py, axis=0, keepdims=True)
-        d3 = jnp.sum(dpower * (px * px), axis=0, keepdims=True)
-        d4 = jnp.sum(dpower * (py * py), axis=0, keepdims=True)
-        d5 = jnp.sum(dpower * (px * py), axis=0, keepdims=True)
-        df_r = jnp.sum(g0 * w, axis=0, keepdims=True)
-        df_g = jnp.sum(g1 * w, axis=0, keepdims=True)
-        df_b = jnp.sum(g2 * w, axis=0, keepdims=True)
-        df_d = jnp.sum(g3 * w, axis=0, keepdims=True)
-        zeros = jnp.zeros((1, CHUNK), jnp.float32)
-        dscratch[k % 2] = jnp.concatenate(
-            [d0, d1, d2, d3, d4, d5, dop, df_r, df_g, df_b, df_d,
-             zeros, zeros, zeros, zeros, zeros], axis=0)  # (NFEAT, CHUNK)
+        # power = -0.5(a dx^2 + c dy^2) - b dx dy with dx = px - (Cx - ox)
+        px, py = _pixel_rows()
+        ca = co_t[:, 0:1]
+        cb = co_t[:, 1:2]
+        cc = co_t[:, 2:3]
+        dx = px - (co_t[:, 3:4] - ox)                 # (CHUNK, NPIX)
+        dy = py - (co_t[:, 4:5] - oy)
+        d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_b = jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True)
+        d_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_cx = jnp.sum(dpower * (ca * dx + cb * dy), axis=1, keepdims=True)
+        d_cy = jnp.sum(dpower * (cc * dy + cb * dx), axis=1, keepdims=True)
+        df_r = jnp.sum(g0 * w, axis=1, keepdims=True)
+        df_g = jnp.sum(g1 * w, axis=1, keepdims=True)
+        df_b = jnp.sum(g2 * w, axis=1, keepdims=True)
+        df_d = jnp.sum(g3 * w, axis=1, keepdims=True)
+        zeros = jnp.zeros((CHUNK, 1), jnp.float32)
+        dchunk = jnp.concatenate(
+            [d_a, d_b, d_c, d_cx, d_cy, dop, df_r, df_g, df_b, df_d,
+             zeros, zeros, zeros, zeros, zeros, zeros], axis=1)  # (CHUNK, NFEAT)
+        dscratch[k % 2] = jnp.transpose(dchunk, (1, 0))   # (NFEAT, CHUNK)
         dma_out(k % 2, k).start()
 
-        trans = trans * incl[:, CHUNK - 1:CHUNK]
-        prefix = incl_cw[:, CHUNK - 1:CHUNK]
+        trans = trans * incl[CHUNK - 1:CHUNK, :]
+        prefix = incl_cw[CHUNK - 1:CHUNK, :]
         return k + 1, trans, prefix
 
-    init = (jnp.int32(0), jnp.ones((NPIX, 1), jnp.float32),
-            jnp.zeros((NPIX, 1), jnp.float32))
+    init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32),
+            jnp.zeros((1, NPIX), jnp.float32))
     k_end, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves the next chunk's input prefetch in flight; drain it.
@@ -310,24 +331,26 @@ def _use_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _get_flat_composite(n_tiles: int, p_al: int, interpret: bool):
+def _get_flat_composite(n_tiles: int, tiles_x: int, p_al: int, interpret: bool):
     """custom_vjp'd flat compositor for a static (tiles, capacity) config."""
+    fwd_kernel = functools.partial(_fwd_kernel, tiles_x)
+    bwd_kernel = functools.partial(_bwd_kernel, tiles_x)
 
     def fwd_call(feats_t, tile_start, tile_count):
         grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, NPIX, NCH), lambda t, s, c: (t, 0, 0)),
+            out_specs=pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         return pl.pallas_call(
-            _fwd_kernel,
+            fwd_kernel,
             grid_spec=grid,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, NPIX, NCH), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, NCH, NPIX), jnp.float32),
             interpret=interpret,
         )(tile_start, tile_count, feats_t)
 
@@ -337,8 +360,8 @@ def _get_flat_composite(n_tiles: int, p_al: int, interpret: bool):
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, NPIX, NCH), lambda t, s, c: (t, 0, 0)),
-                pl.BlockSpec((1, NPIX, NCH), lambda t, s, c: (t, 0, 0)),
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -351,7 +374,7 @@ def _get_flat_composite(n_tiles: int, p_al: int, interpret: bool):
         )
         zeros = jnp.zeros_like(feats_t)
         return pl.pallas_call(
-            _bwd_kernel,
+            bwd_kernel,
             grid_spec=grid,
             out_shape=jax.ShapeDtypeStruct(feats_t.shape, jnp.float32),
             input_output_aliases={5: 0},  # zeros arg (incl. prefetch) -> out
@@ -399,34 +422,57 @@ def composite_tiles_pallas(
     aligned_start = (aligned_end - padded_counts).astype(jnp.int32)
     p_al = (-(-pair_capacity // CHUNK)) * CHUNK + CHUNK * n_tiles  # static
 
+    # Per-position tile bookkeeping WITHOUT per-position gathers: random
+    # gathers cost ~10 ns/row on TPU, so an 8.6M searchsorted (11 chained
+    # gathers) would dominate the whole render. Instead scatter the per-tile
+    # values at their aligned starts and forward-fill with a monotonic
+    # cummax — three cheap scans replace five giant gathers.
+    # Forward-filling a monotonic per-tile value v over the aligned positions:
+    # scatter-ADD its per-tile deltas at the aligned starts, then a native
+    # cumsum (cummax lowers to a slow multi-pass scan on TPU; cumsum is fast).
+    # Duplicate starts (empty tiles) simply accumulate their deltas.
+    def fill(values):  # values: (T,) monotonic non-decreasing, int32
+        deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
+        sc = jnp.zeros((p_al,), jnp.int32).at[aligned_start].add(
+            deltas.astype(jnp.int32), mode="drop")
+        return jnp.cumsum(sc)
+
     pos = jnp.arange(p_al, dtype=jnp.int32)
-    tile_of_pos = jnp.clip(
-        jnp.searchsorted(aligned_end, pos, side="right"),
-        0, n_tiles - 1).astype(jnp.int32)
-    within = pos - aligned_start[tile_of_pos]
-    valid = (pos < aligned_end[-1]) & (within < count_c[tile_of_pos])
-    orig = jnp.clip(bins.tile_start[tile_of_pos] + within, 0,
-                    pair_capacity - 1)
+    own_start = fill(aligned_start)                   # aligned start of my tile
+    within = pos - own_start
+    filled_end = fill(aligned_start + count_c.astype(jnp.int32))
+    valid = (pos < aligned_end[-1]) & (pos < filled_end)
+    own_pair0 = fill(bins.tile_start)                 # pair_gauss base of tile
+    orig = jnp.clip(own_pair0 + within, 0, pair_capacity - 1)
     g = jnp.where(valid, bins.pair_gauss[orig], 0)            # (P_al,)
 
-    origin = jnp.stack([
-        (tile_of_pos % tiles_x).astype(jnp.float32) * TILE_W,
-        (tile_of_pos // tiles_x).astype(jnp.float32) * TILE_H], axis=-1)
-    means_l = proj.means2d[g] - origin
-    coeffs = quad_coeffs(means_l, proj.conics[g])             # (P_al, 6)
-    feats_t = jnp.concatenate([
-        coeffs.T,
-        jnp.where(valid, proj.opacities[g], 0.0)[None, :],
-        proj.colors[g].T,
-        proj.depths[g][None, :],
-        semantic_ids[g].astype(jnp.float32)[None, :],
-        jnp.zeros((4, p_al), jnp.float32),
-    ], axis=0)                                                # (16, P_al)
+    # Attribute build: the per-Gaussian table is assembled ONCE (N rows), then
+    # per-pair features come from a SINGLE row-gather + one transpose. Big
+    # random gathers are the wrapper's true cost on TPU (~10 ns/row), so one
+    # gather of 16-float rows beats 12 per-column gathers by an order of
+    # magnitude; tile-local coefficients are derived INSIDE the kernel from
+    # the global mean + tile origin.
+    n = proj.depths.shape[0]
+    attrs = jnp.stack([
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.opacities,
+        proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+        proj.depths,
+        semantic_ids.astype(jnp.float32),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    ], axis=1)                                                # (N, 16)
+    pair_attrs = attrs[g]                                     # ONE row-gather
+    pair_attrs = pair_attrs.at[:, 5].multiply(valid.astype(jnp.float32))
+    feats_t = pair_attrs.T                                    # (16, P_al)
 
-    flat = _get_flat_composite(n_tiles, p_al, _use_interpret())
+    flat = _get_flat_composite(n_tiles, tiles_x, p_al, _use_interpret())
     out = flat(feats_t, aligned_start, count_c.astype(jnp.int32))
 
-    imgs = out.reshape(tiles_y, tiles_x, TILE_H, TILE_W, NCH)
+    imgs = out.transpose(0, 2, 1).reshape(tiles_y, tiles_x, TILE_H, TILE_W,
+                                           NCH)
     imgs = imgs.transpose(0, 2, 1, 3, 4).reshape(
         tiles_y * TILE_H, tiles_x * TILE_W, NCH)
     imgs = imgs[:height, :width]
