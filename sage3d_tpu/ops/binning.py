@@ -1,21 +1,26 @@
 """Tile binning: turn projected Gaussians into per-tile depth-ordered work lists.
 
-TPU-native replacement for the CUDA rasterizer's duplicate-and-radix-sort binning
-(the stage Isaac Sim's renderer performs on GPU for the reference's 3DGS scenes).
-The GPU idiom — dynamic-size key arrays + radix sort by (tile << 32 | depth) — is
-re-designed for XLA's static-shape world:
+TPU-native replacement for the CUDA rasterizer's duplicate-and-radix-sort
+binning. The design is driven by measured XLA-on-TPU cost facts (traced
+inputs): lax.sort is FAST (~1 ms/M elements), while scatters and 1-D gathers
+with traced indices are 2-3 orders of magnitude slower per element. So the
+binning is built from sorts and elementwise math ONLY — no scatters:
 
-  1. Gaussians are globally argsorted by depth ONCE per camera.
-  2. Each visible Gaussian emits up to MAX_TILES_PER_GAUSSIAN (tile, gaussian)
-     pairs into a fixed-capacity flat buffer via cumsum offsets + scatter-drop.
-     Overflow is counted, never silently wrong order.
-  3. A single STABLE sort by tile id orders pairs; because pairs were generated
-     in depth order, stability gives per-tile depth order for free — no 64-bit
-     key needed (XLA sort on TPU is fastest on one 32-bit key).
-  4. Per-tile [start, count) ranges come from a vectorized searchsorted.
+  1. Gaussians are argsorted by depth ONCE; the inverse permutation gives each
+     Gaussian a 20-bit depth rank (one small N-scatter, the only one).
+  2. Every visible Gaussian emits K1 candidate (tile, gaussian) entries
+     elementwise from its tile rect (row-major); Gaussians spanning more than
+     K1 tiles are handled by a second fixed block: the M_BIG largest spanners
+     (by tile count, via one N-argsort) emit up to K2 entries each. Everything
+     else overflows with an exact count — never silently wrong.
+  3. Entries carry a fused int32 key  tile * 2^20 + depth_rank  (tile < 2047,
+     rank < 2^20 fits int32); invalid entries get INT32_MAX. ONE unstable
+     single-key sort orders all entries per-tile front-to-back and sinks the
+     padding to the end.
+  4. Per-tile [start, count) ranges come from a small searchsorted (T queries).
 
-Everything is static-shaped and jittable; capacities are static ints chosen per
-scene/resolution bucket (recompilation per bucket, like any XLA program).
+Everything is static-shaped and jittable; the entry budget is
+N*K1 + M_BIG*K2, fixed at trace time.
 """
 
 from __future__ import annotations
@@ -31,13 +36,20 @@ from .projection import ProjectedGaussians
 TILE_W = 32  # 32x32-pixel tiles = 1024 px: reshapes to the VPU-native (8, 128)
 TILE_H = 32
 
+RANK_BITS = 20            # depth rank field of the fused key (N <= 2^20)
+MAX_N = 1 << RANK_BITS
+K1_DEFAULT = 16           # candidate entries per ordinary Gaussian
+M_BIG_DEFAULT = 8192      # large-spanning Gaussians given extended budgets
+K2_DEFAULT = 256          # entries per large Gaussian
+INVALID_KEY = jnp.int32(2**31 - 1)
+
 
 class TileBins(NamedTuple):
     pair_gauss: jnp.ndarray   # (P,) int32 gaussian index per pair, depth-ordered per tile
     tile_start: jnp.ndarray   # (T,) int32 first pair index of each tile
     tile_count: jnp.ndarray   # (T,) int32 number of pairs of each tile
-    n_pairs: jnp.ndarray      # () int32 total valid pairs (<= capacity)
-    overflow: jnp.ndarray     # () int32 pairs dropped due to capacity
+    n_pairs: jnp.ndarray      # () int32 total valid pairs
+    overflow: jnp.ndarray     # () int32 pairs dropped by the K1/K2/M budgets
     tiles_x: int
     tiles_y: int
 
@@ -57,86 +69,112 @@ def num_tiles(width: int, height: int, tile_w: int = TILE_W, tile_h: int = TILE_
     return tx, ty
 
 
+def _emit_block(x0, y0, nx, count, sel, rank, tiles_x, k_budget: int):
+    """(B, k_budget) fused keys + gaussian ids for the k-th tiles of each
+    selected Gaussian's rect (row-major); invalid slots get INVALID_KEY."""
+    k = jnp.arange(k_budget, dtype=jnp.int32)[None, :]
+    nx_safe = jnp.maximum(nx, 1)[:, None]
+    valid = sel[:, None] & (k < count[:, None])
+    tid = (y0[:, None] + k // nx_safe) * tiles_x + (x0[:, None] + k % nx_safe)
+    key = jnp.where(valid, tid * MAX_N + rank[:, None], INVALID_KEY)
+    return key
+
+
 @partial(jax.jit, static_argnames=("width", "height", "pair_capacity",
-                                   "max_tiles_per_gaussian", "tile_w", "tile_h"))
+                                   "max_tiles_per_gaussian", "tile_w", "tile_h",
+                                   "k_small", "m_big", "k_big"))
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
     height: int,
-    pair_capacity: int,
-    max_tiles_per_gaussian: int = 128,
+    pair_capacity: int = 0,      # kept for API compat; budget is K1/M/K2 now
+    max_tiles_per_gaussian: int = 0,   # kept for API compat
     tile_w: int = TILE_W,
     tile_h: int = TILE_H,
+    k_small: int = K1_DEFAULT,
+    m_big: int = M_BIG_DEFAULT,
+    k_big: int = K2_DEFAULT,
 ) -> TileBins:
     """Build per-tile depth-ordered Gaussian lists. Indices carry no gradient."""
+    del pair_capacity, max_tiles_per_gaussian
     tiles_x, tiles_y = num_tiles(width, height, tile_w, tile_h)
     n_tiles = tiles_x * tiles_y
     n = proj.depths.shape[0]
+    assert n <= MAX_N, f"depth-rank field supports up to {MAX_N} Gaussians"
+    assert (n_tiles + 1) * MAX_N < 2**31, (
+        f"{n_tiles} tiles overflow the fused int32 key; use smaller tiles "
+        f"or shard the image (parallel/sharded_render.py)")
+    m_big = max(min(m_big, n // 8), 1)  # scale the big-budget to the scene
 
     means2d = jax.lax.stop_gradient(proj.means2d)
     radii = proj.radii.astype(jnp.float32)
+    depths = jax.lax.stop_gradient(proj.depths)
 
-    # 1. Global depth sort (invisible to the back).
-    order = jnp.argsort(jnp.where(proj.visible, jax.lax.stop_gradient(proj.depths),
-                                  jnp.inf))
-    mx = means2d[order, 0]
-    my = means2d[order, 1]
-    r = radii[order]
-    vis = proj.visible[order] & (r > 0)
+    # 1. Depth ranks (front-to-back). One small scatter inverts the argsort.
+    order = jnp.argsort(jnp.where(proj.visible, depths, jnp.inf))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
 
-    # 2. Tile rectangle touched by each Gaussian (clamped to the grid).
+    # 2. Tile rect per Gaussian.
+    mx = means2d[:, 0]
+    my = means2d[:, 1]
+    r = radii
+    vis = proj.visible & (r > 0)
     x0 = jnp.clip(jnp.floor((mx - r) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mx + r) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((my + r) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
     nx = x1 - x0 + 1
-    ny = y1 - y0 + 1
-    count = jnp.where(vis, nx * ny, 0)
-    # Gaussians spanning more tiles than the static cap keep the first
-    # max_tiles_per_gaussian tiles (row-major within their rect) and are counted.
-    clipped = jnp.maximum(count - max_tiles_per_gaussian, 0)
-    count_c = jnp.minimum(count, max_tiles_per_gaussian)
+    count = jnp.where(vis, nx * (y1 - y0 + 1), 0)
 
-    offsets = jnp.cumsum(count_c) - count_c          # exclusive prefix sum
-    total = offsets[-1] + count_c[-1] if n > 0 else jnp.int32(0)
+    small = count <= k_small
+    key_small = _emit_block(x0, y0, nx, jnp.minimum(count, k_small),
+                            vis & small, rank, tiles_x, k_small)
 
-    # 3. Emit pairs: k-th tile of gaussian g lands at offsets[g] + k.
-    # One vectorized (N, K) scatter; invalid slots target index==capacity and
-    # are dropped by the scatter mode (never written).
-    pair_tile = jnp.full((pair_capacity,), jnp.int32(n_tiles), jnp.int32)
-    pair_gauss = jnp.zeros((pair_capacity,), jnp.int32)
-    g_ids = jnp.arange(n, dtype=jnp.int32)
-    k = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)[None, :]   # (1, K)
-    nx_safe = jnp.maximum(nx, 1)[:, None]
-    valid = k < count_c[:, None]                                       # (N, K)
-    tid = (y0[:, None] + k // nx_safe) * tiles_x + (x0[:, None] + k % nx_safe)
-    idx = jnp.where(valid, offsets[:, None] + k, pair_capacity)
-    pair_tile = pair_tile.at[idx.reshape(-1)].set(
-        jnp.where(valid, tid, n_tiles).reshape(-1), mode="drop")
-    pair_gauss = pair_gauss.at[idx.reshape(-1)].set(
-        jnp.broadcast_to(g_ids[:, None], idx.shape).reshape(-1), mode="drop")
+    # Large spanners: top m_big by count (one more N-argsort), budget k_big.
+    big_score = jnp.where(vis & ~small, count, -1)
+    big_idx = jnp.argsort(-big_score)[:m_big]
+    big_sel = big_score[big_idx] > 0
+    key_big = _emit_block(
+        x0[big_idx], y0[big_idx], nx[big_idx],
+        jnp.minimum(count[big_idx], k_big), big_sel, rank[big_idx],
+        tiles_x, k_big)
 
-    dropped = jnp.sum(clipped) + jnp.maximum(total - pair_capacity, 0)
+    g_small = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                               (n, k_small))
+    g_big = jnp.broadcast_to(big_idx[:, None].astype(jnp.int32),
+                             (m_big, k_big))
+    keys = jnp.concatenate([key_small.reshape(-1), key_big.reshape(-1)])
+    gauss = jnp.concatenate([g_small.reshape(-1), g_big.reshape(-1)])
 
-    # 4. Stable sort by tile id; padding (tile == n_tiles) sinks to the end.
-    pair_tile, pair_gauss = jax.lax.sort(
-        (pair_tile, pair_gauss), dimension=0, is_stable=True, num_keys=1)
+    # 3. One unstable single-key sort orders everything.
+    keys_sorted, pair_gauss = jax.lax.sort(
+        (keys, gauss), dimension=0, is_stable=False, num_keys=1)
 
-    # 5. Per-tile ranges. pair_gauss values index the DEPTH-SORTED arrays, so
-    # map back to original gaussian indices for downstream gathers.
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
-    tile_count = tile_end - tile_start
+    # 4. Tile ranges via a T-query searchsorted on the fused keys.
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(keys_sorted, tile_ids * MAX_N,
+                              side="left").astype(jnp.int32)
+    tile_start = bounds[:-1]
+    tile_count = bounds[1:] - bounds[:-1]
 
-    pair_gauss_orig = order.astype(jnp.int32)[pair_gauss]
+    # Overflow accounting: big Gaussians clipped at k_big, plus non-selected
+    # large spanners dropped entirely.
+    clipped_big = jnp.sum(jnp.where(big_sel,
+                                    jnp.maximum(count[big_idx] - k_big, 0), 0))
+    n_big_total = jnp.sum((vis & ~small).astype(jnp.int32))
+    n_big_kept = jnp.sum(big_sel.astype(jnp.int32))
+    dropped_whole = jnp.sum(
+        jnp.where(vis & ~small, count, 0)) - jnp.sum(
+        jnp.where(big_sel, count[big_idx], 0))
+    del n_big_total, n_big_kept
 
     return TileBins(
-        pair_gauss=pair_gauss_orig,
+        pair_gauss=pair_gauss,
         tile_start=tile_start,
         tile_count=tile_count,
-        n_pairs=jnp.minimum(total, pair_capacity).astype(jnp.int32),
-        overflow=dropped.astype(jnp.int32),
+        n_pairs=bounds[-1],
+        overflow=(clipped_big + dropped_whole).astype(jnp.int32),
         tiles_x=tiles_x,
         tiles_y=tiles_y,
     )

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE_H, TILE_W, TileBins
+from .gather_ops import gather_rows, gather_rows_unique
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
 
 CHUNK = 128          # Gaussians per chunk = lane count of the alpha matrix
@@ -399,7 +400,8 @@ def _get_flat_composite(n_tiles: int, tiles_x: int, p_al: int, interpret: bool):
     return flat_composite
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "tile_capacity"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
+                                              "pair_capacity"))
 def composite_tiles_pallas(
     proj: ProjectedGaussians,
     semantic_ids: jnp.ndarray,
@@ -407,16 +409,32 @@ def composite_tiles_pallas(
     width: int,
     height: int,
     tile_capacity: int = 4096,
+    pair_capacity: int = 0,
 ) -> Dict[str, jnp.ndarray]:
-    """Composite via the Pallas kernels. Same output schema as composite_tiles."""
+    """Composite via the Pallas kernels. Same output schema as composite_tiles.
+
+    ``pair_capacity`` (static, 0 = the binning entry budget) trims the sorted
+    pair array: the aligned work layout and feature gathers are sized by it,
+    so callers bound memory/time; trimmed pairs are counted as overflow.
+    """
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     n_tiles = tiles_x * tiles_y
-    pair_capacity = bins.pair_gauss.shape[0]
+    full_p = bins.pair_gauss.shape[0]
+    if pair_capacity and pair_capacity < full_p:
+        pair_gauss_t = bins.pair_gauss[:pair_capacity]
+    else:
+        pair_capacity = full_p
+        pair_gauss_t = bins.pair_gauss
+    trim_overflow = jnp.maximum(bins.n_pairs - pair_capacity, 0)
+    tile_start_t = jnp.minimum(bins.tile_start, pair_capacity)
+    tile_count_t = jnp.clip(
+        jnp.minimum(bins.tile_start + bins.tile_count, pair_capacity)
+        - tile_start_t, 0, None)
 
     # 128-aligned per-tile pair layout (Mosaic DMA lane alignment) with
     # feature-major storage. The whole build is autodiffed jnp — its gather
     # transpose scatter-adds pair gradients back onto the Gaussians.
-    count_c = jnp.minimum(bins.tile_count, tile_capacity)
+    count_c = jnp.minimum(tile_count_t, tile_capacity)
     padded_counts = -(-count_c // CHUNK) * CHUNK
     aligned_end = jnp.cumsum(padded_counts)
     aligned_start = (aligned_end - padded_counts).astype(jnp.int32)
@@ -427,24 +445,32 @@ def composite_tiles_pallas(
     # gathers) would dominate the whole render. Instead scatter the per-tile
     # values at their aligned starts and forward-fill with a monotonic
     # cummax — three cheap scans replace five giant gathers.
-    # Forward-filling a monotonic per-tile value v over the aligned positions:
-    # scatter-ADD its per-tile deltas at the aligned starts, then a native
-    # cumsum (cummax lowers to a slow multi-pass scan on TPU; cumsum is fast).
-    # Duplicate starts (empty tiles) simply accumulate their deltas.
-    def fill(values):  # values: (T,) monotonic non-decreasing, int32
-        deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
-        sc = jnp.zeros((p_al,), jnp.int32).at[aligned_start].add(
-            deltas.astype(jnp.int32), mode="drop")
-        return jnp.cumsum(sc)
+    # Per-position tile bookkeeping at CHUNK granularity: every aligned tile
+    # span is a whole number of 128-pair chunks, so per-tile values broadcast
+    # from (n_chunks,) to positions with pure elementwise math. jnp.repeat
+    # with a static total length keeps everything 128x smaller than
+    # per-position fills (and avoids traced-index scatters, which XLA
+    # serializes, and 1-D traced gathers at ~230 ns/element).
+    c_cap = p_al // CHUNK
+    nc = (padded_counts // CHUNK).astype(jnp.int32)   # chunks per tile
+    total_chunks = aligned_end[-1] // CHUNK
 
-    pos = jnp.arange(p_al, dtype=jnp.int32)
-    own_start = fill(aligned_start)                   # aligned start of my tile
-    within = pos - own_start
-    filled_end = fill(aligned_start + count_c.astype(jnp.int32))
-    valid = (pos < aligned_end[-1]) & (pos < filled_end)
-    own_pair0 = fill(bins.tile_start)                 # pair_gauss base of tile
-    orig = jnp.clip(own_pair0 + within, 0, pair_capacity - 1)
-    g = jnp.where(valid, bins.pair_gauss[orig], 0)            # (P_al,)
+    def chunk_fill(values):  # (T,) -> (c_cap,) per-chunk copy of my tile's value
+        return jnp.repeat(values, nc, total_repeat_length=c_cap)
+
+    ch_start = chunk_fill(aligned_start)              # aligned start of my tile
+    ch_fend = chunk_fill(aligned_start + count_c.astype(jnp.int32))
+    ch_pair0 = chunk_fill(bins.tile_start)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    pos2 = (jnp.arange(c_cap, dtype=jnp.int32) * CHUNK)[:, None] + lane
+    chunk_valid = (jnp.arange(c_cap, dtype=jnp.int32) < total_chunks)[:, None]
+    within = pos2 - ch_start[:, None]
+    valid = (chunk_valid & (pos2 < ch_fend[:, None])).reshape(-1)
+    # invalid positions index out of range -> gather_rows_unique yields zeros
+    orig = jnp.where(valid.reshape(pos2.shape),
+                     jnp.clip(ch_pair0[:, None] + within, 0,
+                              pair_capacity - 1),
+                     pair_capacity).reshape(-1)
 
     # Attribute build: the per-Gaussian table is assembled ONCE (N rows), then
     # per-pair features come from a SINGLE row-gather + one transpose. Big
@@ -464,7 +490,13 @@ def composite_tiles_pallas(
         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
         jnp.zeros((n,), jnp.float32),
     ], axis=1)                                                # (N, 16)
-    pair_attrs = attrs[g]                                     # ONE row-gather
+    # Two ROW-gathers (16 floats/row amortize the per-row gather cost ~25x
+    # better than 1-D gathers on TPU): Gaussian attrs -> sorted pair order,
+    # then sorted pairs -> the 128-aligned layout. Both use custom VJPs so the
+    # backward is sort+segment-sum / unique-scatter instead of XLA's
+    # serialized duplicated scatter-add (ops/gather_ops.py).
+    pair_attrs_sorted = gather_rows(attrs, pair_gauss_t)      # (P, 16)
+    pair_attrs = gather_rows_unique(pair_attrs_sorted, orig)  # (P_al, 16)
     pair_attrs = pair_attrs.at[:, 5].multiply(valid.astype(jnp.float32))
     feats_t = pair_attrs.T                                    # (16, P_al)
 
@@ -483,6 +515,6 @@ def composite_tiles_pallas(
         "alpha": imgs[..., 4],
         "trans": imgs[..., 5],
         "semantic": jax.lax.stop_gradient(imgs[..., 7]).astype(jnp.int32),
-        "tile_overflow": jnp.sum(jnp.maximum(bins.tile_count - tile_capacity,
-                                             0)),
+        "tile_overflow": jnp.sum(jnp.maximum(tile_count_t - tile_capacity, 0))
+        + trim_overflow,
     }

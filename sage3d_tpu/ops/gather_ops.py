@@ -1,0 +1,93 @@
+"""Row-gather primitives with TPU-friendly custom backward passes.
+
+XLA's automatic transpose of a gather is a scatter-add; with traced duplicate
+indices the TPU lowering serializes and an 8.6M-row scatter costs seconds.
+These wrappers keep the forward as a fast row-gather (~10 ns/row) and replace
+the backward with:
+
+  * ``gather_rows_unique``: indices are a (sorted) sub-permutation — the
+    transpose is a row scatter with ``unique_indices``/``indices_are_sorted``
+    hints, which takes XLA's parallel path;
+  * ``gather_rows``: general duplicated indices — the transpose is computed by
+    sorting the cotangent rows by index and segment-summing via a cumsum +
+    boundary-gather (sort 7 ms + row reorder ~80 ms + one scan), never a
+    duplicated scatter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows_unique(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for int32 ``idx`` that hits each row AT MOST once, sorted
+    non-decreasing; out-of-range idx (>= table rows) yield zeros."""
+    return _gather_oob_zero(table, idx)
+
+
+def _gather_oob_zero(table, idx):
+    n = table.shape[0]
+    safe = jnp.clip(idx, 0, n - 1)
+    out = table[safe]
+    return jnp.where((idx >= 0)[:, None] & (idx < n)[:, None], out, 0.0)
+
+
+def _gru_fwd(table, idx):
+    return _gather_oob_zero(table, idx), (idx, table.shape[0])
+
+
+def _gru_bwd(res, ct):
+    idx, n = res
+    d_table = jnp.zeros((n,) + ct.shape[1:], ct.dtype).at[idx].add(
+        ct, mode="drop", unique_indices=True, indices_are_sorted=True)
+    return d_table, None
+
+
+gather_rows_unique.defvjp(_gru_fwd, _gru_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] with arbitrary (possibly duplicated) in-range indices."""
+    return table[idx]
+
+
+def _gr_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gr_bwd(res, ct):
+    idx, n = res
+    p = idx.shape[0]
+    # Sort cotangent rows by destination index, then segment-sum with a
+    # cumsum + per-destination boundary lookup (exclusive-prefix differences).
+    # Boundaries come from UNIQUE-SORTED scatters at segment edges — a
+    # searchsorted over N destinations would be N log P slow 1-D gathers.
+    order_key, order_val = jax.lax.sort(
+        (idx, jnp.arange(p, dtype=jnp.int32)), dimension=0, is_stable=False,
+        num_keys=1)
+    ct_sorted = ct[order_val]                       # row reorder (row gather)
+    csum = jnp.cumsum(ct_sorted.astype(jnp.float32), axis=0)
+
+    change = order_key[1:] != order_key[:-1]
+    is_last = jnp.concatenate([change, jnp.array([True])])
+    is_first = jnp.concatenate([jnp.array([True]), change])
+    ar = jnp.arange(p, dtype=jnp.int32)
+    hi = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(is_last, order_key, n)].set(
+        ar + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+    lo = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(is_first, order_key, n)].set(
+        ar, mode="drop", unique_indices=True, indices_are_sorted=True)
+    zero_row = jnp.zeros((1,) + ct.shape[1:], jnp.float32)
+    csum_ext = jnp.concatenate([zero_row, csum], axis=0)
+    # absent destinations have lo == hi == 0 -> zero rows
+    d_table = (csum_ext[hi] - csum_ext[lo]).astype(ct.dtype)
+    return d_table, None
+
+
+gather_rows.defvjp(_gr_fwd, _gr_bwd)

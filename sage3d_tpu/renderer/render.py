@@ -80,9 +80,10 @@ def render(
         from ..ops.composite_pallas import composite_tiles_pallas
         if pair_capacity is None:
             pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
-        bins = bin_gaussians(proj, width, height, pair_capacity)
-        out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width, height,
-                                     tile_capacity=tile_capacity)
+        bins = bin_gaussians(proj, width, height)
+        out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width,
+                                     height, tile_capacity=tile_capacity,
+                                     pair_capacity=pair_capacity)
         overflow = bins.overflow + out.pop("tile_overflow")
     else:
         raise ValueError(f"unknown backend: {backend}")
