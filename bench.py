@@ -35,6 +35,7 @@ WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 1_000_000
 PAIR_CAPACITY = 1 << 23
 TILE_CAPACITY = 4096
+K_SMALL = 32          # per-Gaussian candidate-tile budget (overflow-free here)
 
 
 def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
@@ -66,7 +67,7 @@ def bench_backend(scene, camera, backend: str, iters: int = 6):
     def loss(opacity_logits, s, c):
         s = s._replace(opacity_logits=opacity_logits + c * 0)
         out = render(s, camera, backend=backend, pair_capacity=PAIR_CAPACITY,
-                     tile_capacity=TILE_CAPACITY)
+                     tile_capacity=TILE_CAPACITY, k_small=K_SMALL)
         return (jnp.sum(out["rgb"] ** 2) * 1e-9
                 + jnp.sum(out["depth_acc"]) * 1e-12
                 + jnp.sum(out["alpha"]) * 1e-12)
@@ -101,7 +102,7 @@ def main():
 
     overflow = int(jax.device_get(render(
         scene, camera, backend="pallas", pair_capacity=PAIR_CAPACITY,
-        tile_capacity=TILE_CAPACITY)["overflow"]))
+        tile_capacity=TILE_CAPACITY, k_small=K_SMALL)["overflow"]))
 
     result = {
         "metric": "mpix_per_s_fwd_bwd_1080p_1m_gauss",

@@ -322,6 +322,33 @@ def main(argv=None) -> int:
         a.ply_root, a.labels_root, a.map_root, a.output_dir, a.overwrite,
         a.max_scenes) and 0) or 0)
 
+    p = sub.add_parser("train-scene", help="fit a Gaussian scene to targets")
+    p.add_argument("--scene-ply", required=True)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--views", type=int, default=4)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--mesh", default="1x1", help="data x tile, e.g. 2x4")
+
+    def _train(a):
+        from .parallel.trainer import (TrainerConfig, fit_scene,
+                                       make_orbit_targets)
+        from .renderer.scene import load_ply, save_ply
+        scene = load_ply(a.scene_ply)
+        cams, targets = make_orbit_targets(scene, n_views=a.views,
+                                           width=a.size, height=a.size)
+        mesh_shape = tuple(int(x) for x in a.mesh.split("x"))
+        cfg = TrainerConfig(lr=a.lr, steps=a.steps,
+                            mesh_shape=mesh_shape,
+                            checkpoint_dir=a.checkpoint_dir)
+        fitted, history = fit_scene(scene, cams, targets, cfg)
+        out = a.scene_ply.replace(".ply", "_fitted.ply")
+        save_ply(fitted, out)
+        print(f"[train-scene] wrote {out}; final: {history[-1]}")
+        return 0
+    p.set_defaults(fn=_train)
+
     p = sub.add_parser("serve-scripted")
     p.add_argument("--port", type=int, default=55221)
     p.add_argument("--script", default=None,

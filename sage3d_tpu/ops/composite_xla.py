@@ -120,6 +120,11 @@ def composite_tiles(
     sem_c = sem.reshape(n_tiles, n_chunks, chunk)
 
     def tile_fn(coeffs_t, opac_t, feats_t, sem_t):
+        # remat: the scan otherwise saves every (pix, chunk) alpha matrix for
+        # backward — 10s of GB at 1080p. Recomputing in the bwd pass keeps
+        # memory O(carry) at 2x compute (the kernel backend has an analytic
+        # bwd and doesn't pay this).
+        @jax.checkpoint
         def chunk_fn(carry, inp):
             log_T, acc, best_w, best_id = carry
             co, op, ft, sm = inp

@@ -51,6 +51,9 @@ def render(
     tile_capacity: int = 1024,
     chunk: int = 128,
     clamp_dims: Optional[tuple] = None,
+    k_small: int = 16,
+    m_big: int = 8192,
+    k_big: int = 256,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
 
@@ -72,7 +75,8 @@ def render(
     elif backend == "xla":
         if pair_capacity is None:
             pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
-        bins = bin_gaussians(proj, width, height, pair_capacity)
+        bins = bin_gaussians(proj, width, height, k_small=k_small,
+                             m_big=m_big, k_big=k_big)
         out = composite_tiles(proj, scene.semantic_ids, bins, width, height,
                               tile_capacity=tile_capacity, chunk=chunk)
         overflow = bins.overflow + out.pop("tile_overflow")
@@ -80,7 +84,8 @@ def render(
         from ..ops.composite_pallas import composite_tiles_pallas
         if pair_capacity is None:
             pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
-        bins = bin_gaussians(proj, width, height)
+        bins = bin_gaussians(proj, width, height, k_small=k_small,
+                             m_big=m_big, k_big=k_big)
         out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width,
                                      height, tile_capacity=tile_capacity,
                                      pair_capacity=pair_capacity)
