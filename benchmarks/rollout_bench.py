@@ -1,0 +1,92 @@
+"""Secondary benchmarks: closed-loop rollout rate + capsule collision queries/s.
+
+BASELINE.json config #4: "Physics rollout: agent capsule collision queries +
+rendering along a SAGE-Bench trajectory (100 steps)". The entire rollout is
+ONE device program (env/rollout.py); collision throughput is measured as
+batched capsule queries against the full 1M-Gaussian scene.
+
+Run:  python benchmarks/rollout_bench.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main():
+    import numpy as np
+    from bench import make_bench_scene_device
+    from sage3d_tpu.env.rollout import rollout
+    from sage3d_tpu.ops.collision import agent_capsule, capsule_query
+    from sage3d_tpu.physics.occupancy import grid_from_mask
+
+    scene = make_bench_scene_device(1_000_000)
+
+    obstacle = np.zeros((400, 400), np.uint8)
+    obstacle[:4, :] = 1
+    obstacle[-4:, :] = 1
+    obstacle[:, :4] = 1
+    obstacle[:, -4:] = 1
+    grid = grid_from_mask(obstacle, bounds=[-10.0, 10.0, -8.0, 8.0])
+
+    n_steps = 100
+
+    @jax.jit
+    def run(s, g):
+        out = rollout(s, g, start_xy=jnp.asarray([0.0, -6.0]),
+                      start_yaw=jnp.float32(1.57),
+                      goal_xy=jnp.asarray([3.0, 3.0]), n_steps=n_steps,
+                      width=160, height=128, backend="pallas",
+                      pair_capacity=1 << 21, tile_capacity=2048,
+                      use_capsule=True)
+        return out["goal_distance"][-1] + out["min_clearance"][-1] * 0
+
+    t0 = time.time()
+    float(jax.device_get(run(scene, grid)))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    float(jax.device_get(run(scene, grid)))
+    rollout_s = time.time() - t0
+    steps_per_s = n_steps / rollout_s
+
+    # standalone capsule-query throughput: B capsules x 1M Gaussians
+    b = 256
+    xy = jax.random.uniform(jax.random.PRNGKey(1), (b, 2), jnp.float32, -5, 5)
+    p0, p1, r = agent_capsule(xy)
+
+    @jax.jit
+    def q(s, p0, p1):
+        out = capsule_query(s, p0, p1, r)
+        return jnp.sum(out["clearance"])
+
+    float(jax.device_get(q(scene, p0, p1)))
+    t0 = time.time()
+    iters = 5
+    for _ in range(iters):
+        v = q(scene, p0 + 1e-6, p1)
+    float(jax.device_get(v))
+    query_s = (time.time() - t0) / iters
+    queries_per_s = b / query_s
+
+    print(json.dumps({
+        "rollout_100step_s": round(rollout_s, 3),
+        "env_steps_per_s": round(steps_per_s, 2),
+        "rollout_compile_s": round(compile_s, 1),
+        "capsule_queries_per_s_vs_1m_gaussians": round(queries_per_s, 1),
+        "capsule_query_batch": b,
+        "gaussian_capsule_pairs_per_s": round(queries_per_s * 1e6, 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()
