@@ -120,6 +120,57 @@ def _shift_one(x, fill):
     return jnp.where(_sub_iota() >= 1, rolled, fill)
 
 
+# Row-count-parameterized variants (the backward works on half chunks to keep
+# its larger working set resident in VMEM).
+
+def _alpha_half(co_t, lane_count, ox, oy, rows: int):
+    a = co_t[:, 0:1]
+    b = co_t[:, 1:2]
+    c = co_t[:, 2:3]
+    cx = co_t[:, 3:4] - ox
+    cy = co_t[:, 4:5] - oy
+    w0 = -0.5 * (a * cx * cx + c * cy * cy) - b * cx * cy
+    wx = a * cx + b * cy
+    wy = c * cy + b * cx
+    px, py = _pixel_rows()
+    power = (w0 + wx * px + wy * py
+             - 0.5 * a * (px * px) - 0.5 * c * (py * py) - b * (px * py))
+    raw = co_t[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
+    raw = jnp.where(power > 0.0, 0.0, raw)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    raw = jnp.where(sub < lane_count, raw, 0.0)
+    alpha = jnp.minimum(raw, ALPHA_MAX)
+    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+    return alpha, raw
+
+
+def _scan_products_n(x, rows: int):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    k = 1
+    while k < rows:
+        rolled = pltpu.roll(x, k, 0)
+        x = x * jnp.where(sub >= k, rolled, 1.0)
+        k *= 2
+    return x
+
+
+def _scan_sums_n(v, rows: int):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    x = v
+    k = 1
+    while k < rows:
+        rolled = pltpu.roll(x, k, 0)
+        x = x + jnp.where(sub >= k, rolled, 0.0)
+        k *= 2
+    return x
+
+
+def _shift_one_n(x, fill, rows: int):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    rolled = pltpu.roll(x, 1, 0)
+    return jnp.where(sub >= 1, rolled, fill)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -258,54 +309,64 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, fwd_ref,
         def _drain():
             dma_out(k % 2, k - 2).wait()
 
-        co_t = jnp.transpose(scratch[k % 2], (1, 0))  # (CHUNK, NFEAT)
+        co_full = jnp.transpose(scratch[k % 2], (1, 0))  # (CHUNK, NFEAT)
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
-        alpha, raw = _alpha_matrix(co_t, lane_count, ox, oy)
-        incl = _scan_products(1.0 - alpha)
-        excl = _shift_one(incl, 1.0)
-        t_at = trans * excl
-        w = alpha * t_at                              # (CHUNK, NPIX)
 
-        c = (co_t[:, 6:7] * g0 + co_t[:, 7:8] * g1 + co_t[:, 8:9] * g2
-             + co_t[:, 9:10] * g3 + g4)
-        cw = c * w
-        incl_cw = prefix + _scan_sums(cw)
-        b_suffix = s_pix - incl_cw
-        om = 1.0 - alpha
-        dalpha = c * t_at - b_suffix / om - g_t * t_fin / om
-        active = (alpha > 0.0) & (raw <= ALPHA_MAX)
-        dalpha = jnp.where(active, dalpha, 0.0)
-        dpower = dalpha * alpha
+        # Process the chunk in HALF-sized sub-blocks: the backward needs ~15
+        # live (rows, NPIX) matrices, and at rows=CHUNK that overflows VMEM
+        # into spill traffic. rows=CHUNK//2 keeps the working set resident;
+        # transmittance/prefix carries chain across the halves exactly.
+        dsub_parts = []
+        for h in range(2):
+            half = CHUNK // 2
+            co_t = co_full[h * half:(h + 1) * half, :]   # (half, NFEAT)
+            lc = jnp.clip(lane_count - h * half, 0, half)
+            alpha, raw = _alpha_half(co_t, lc, ox, oy, half)
+            incl = _scan_products_n(1.0 - alpha, half)
+            excl = _shift_one_n(incl, 1.0, half)
+            t_at = trans * excl
+            w = alpha * t_at                              # (half, NPIX)
 
-        op = co_t[:, 5:6]
-        dop = jnp.sum(dalpha * alpha, axis=1,
-                      keepdims=True) / jnp.where(op > 0, op, 1.0)
+            c = (co_t[:, 6:7] * g0 + co_t[:, 7:8] * g1 + co_t[:, 8:9] * g2
+                 + co_t[:, 9:10] * g3 + g4)
+            incl_cw = prefix + _scan_sums_n(c * w, half)
+            om = 1.0 - alpha
+            dalpha = c * t_at - (s_pix - incl_cw) / om - g_t * t_fin / om
+            active = (alpha > 0.0) & (raw <= ALPHA_MAX)
+            dalpha = jnp.where(active, dalpha, 0.0)
+            dpower = dalpha * alpha
 
-        # power = -0.5(a dx^2 + c dy^2) - b dx dy with dx = px - (Cx - ox)
-        px, py = _pixel_rows()
-        ca = co_t[:, 0:1]
-        cb = co_t[:, 1:2]
-        cc = co_t[:, 2:3]
-        dx = px - (co_t[:, 3:4] - ox)                 # (CHUNK, NPIX)
-        dy = py - (co_t[:, 4:5] - oy)
-        d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_b = jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True)
-        d_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_cx = jnp.sum(dpower * (ca * dx + cb * dy), axis=1, keepdims=True)
-        d_cy = jnp.sum(dpower * (cc * dy + cb * dx), axis=1, keepdims=True)
-        df_r = jnp.sum(g0 * w, axis=1, keepdims=True)
-        df_g = jnp.sum(g1 * w, axis=1, keepdims=True)
-        df_b = jnp.sum(g2 * w, axis=1, keepdims=True)
-        df_d = jnp.sum(g3 * w, axis=1, keepdims=True)
-        zeros = jnp.zeros((CHUNK, 1), jnp.float32)
-        dchunk = jnp.concatenate(
-            [d_a, d_b, d_c, d_cx, d_cy, dop, df_r, df_g, df_b, df_d,
-             zeros, zeros, zeros, zeros, zeros, zeros], axis=1)  # (CHUNK, NFEAT)
+            op = co_t[:, 5:6]
+            dop = jnp.sum(dalpha * alpha, axis=1,
+                          keepdims=True) / jnp.where(op > 0, op, 1.0)
+
+            # power = -0.5(a dx^2 + c dy^2) - b dx dy, dx = px - (Cx - ox)
+            px, py = _pixel_rows()
+            ca = co_t[:, 0:1]
+            cb = co_t[:, 1:2]
+            cc = co_t[:, 2:3]
+            dx = px - (co_t[:, 3:4] - ox)                 # (half, NPIX)
+            dy = py - (co_t[:, 4:5] - oy)
+            d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True)
+            d_b = jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True)
+            d_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True)
+            d_cx = jnp.sum(dpower * (ca * dx + cb * dy), axis=1, keepdims=True)
+            d_cy = jnp.sum(dpower * (cc * dy + cb * dx), axis=1, keepdims=True)
+            df_r = jnp.sum(g0 * w, axis=1, keepdims=True)
+            df_g = jnp.sum(g1 * w, axis=1, keepdims=True)
+            df_b = jnp.sum(g2 * w, axis=1, keepdims=True)
+            df_d = jnp.sum(g3 * w, axis=1, keepdims=True)
+            zeros = jnp.zeros((half, 1), jnp.float32)
+            dsub_parts.append(jnp.concatenate(
+                [d_a, d_b, d_c, d_cx, d_cy, dop, df_r, df_g, df_b, df_d,
+                 zeros, zeros, zeros, zeros, zeros, zeros], axis=1))
+
+            trans = trans * incl[half - 1:half, :]
+            prefix = incl_cw[half - 1:half, :]
+
+        dchunk = jnp.concatenate(dsub_parts, axis=0)      # (CHUNK, NFEAT)
         dscratch[k % 2] = jnp.transpose(dchunk, (1, 0))   # (NFEAT, CHUNK)
         dma_out(k % 2, k).start()
-
-        trans = trans * incl[CHUNK - 1:CHUNK, :]
-        prefix = incl_cw[CHUNK - 1:CHUNK, :]
         return k + 1, trans, prefix
 
     init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32),
@@ -472,6 +533,23 @@ def composite_tiles_pallas(
                               pair_capacity - 1),
                      pair_capacity).reshape(-1)
 
+    # Analytic inverse of the aligned layout over the SORTED pair domain (for
+    # the gather backward): sorted pair p of tile t sits at aligned position
+    # aligned_start[t] + (p - tile_start[t]). Per-position tile values come
+    # from a tiny delta-scatter + cumsum (deltas may be negative; the running
+    # sum still reconstructs each tile's value on its own span).
+    def fill_pairs(values):  # (T,) -> (P,) value of my tile at each position
+        deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
+        sc = jnp.zeros((pair_capacity,), jnp.int32).at[tile_start_t].add(
+            deltas.astype(jnp.int32), mode="drop")
+        return jnp.cumsum(sc)
+
+    pos_p = jnp.arange(pair_capacity, dtype=jnp.int32)
+    offset_p = fill_pairs(aligned_start.astype(jnp.int32)
+                          - tile_start_t.astype(jnp.int32))
+    end_p = fill_pairs((tile_start_t + count_c).astype(jnp.int32))
+    inv = jnp.where(pos_p < end_p, pos_p + offset_p, p_al)
+
     # Attribute build: the per-Gaussian table is assembled ONCE (N rows), then
     # per-pair features come from a SINGLE row-gather + one transpose. Big
     # random gathers are the wrapper's true cost on TPU (~10 ns/row), so one
@@ -496,7 +574,7 @@ def composite_tiles_pallas(
     # backward is sort+segment-sum / unique-scatter instead of XLA's
     # serialized duplicated scatter-add (ops/gather_ops.py).
     pair_attrs_sorted = gather_rows(attrs, pair_gauss_t)      # (P, 16)
-    pair_attrs = gather_rows_unique(pair_attrs_sorted, orig)  # (P_al, 16)
+    pair_attrs = gather_rows_unique(pair_attrs_sorted, orig, inv)  # (P_al, 16)
     pair_attrs = pair_attrs.at[:, 5].multiply(valid.astype(jnp.float32))
     feats_t = pair_attrs.T                                    # (16, P_al)
 
