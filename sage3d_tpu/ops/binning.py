@@ -4,19 +4,27 @@ TPU-native replacement for the CUDA rasterizer's duplicate-and-radix-sort
 binning. The design is driven by measured XLA-on-TPU cost facts (traced
 inputs): lax.sort is FAST (~1 ms/M elements), while scatters and 1-D gathers
 with traced indices are 2-3 orders of magnitude slower per element. So the
-binning is built from sorts and elementwise math ONLY — no scatters:
+binning is built from sorts and elementwise math ONLY — no big scatters:
 
   1. Gaussians are argsorted by depth ONCE; the inverse permutation gives each
      Gaussian a 20-bit depth rank (one small N-scatter, the only one).
-  2. Every visible Gaussian emits K1 candidate (tile, gaussian) entries
-     elementwise from its tile rect (row-major); Gaussians spanning more than
-     K1 tiles are handled by a second fixed block: the M_BIG largest spanners
-     (by tile count, via one N-argsort) emit up to K2 entries each. Everything
-     else overflows with an exact count — never silently wrong.
-  3. Entries carry a fused int32 key  tile * 2^20 + depth_rank  (tile < 2047,
-     rank < 2^20 fits int32); invalid entries get INT32_MAX. ONE unstable
-     single-key sort orders all entries per-tile front-to-back and sinks the
-     padding to the end.
+  2. Every visible Gaussian emits up to K1 candidate (tile, gaussian) entries
+     elementwise from its TIGHT AABB tile rect (per-axis cutoff-ellipse
+     extents, row-major), each candidate additionally CULLED by an exact
+     conservative circle test (tile-rect distance to the mean vs the cutoff
+     radius) that removes the AABB corners an anisotropic splat never touches.
+     Gaussians spanning more than K1 tiles are handled by a second fixed
+     block: the M_BIG largest spanners (by tile count, via one N-argsort) emit
+     up to K2 entries each. Everything else overflows with an exact count —
+     never silently wrong. `suggest_budgets` sizes (K1, M_BIG, K2) and the
+     pair capacity from one cheap elementwise probe so production configs run
+     overflow-free.
+  3. Entries carry a fused int32 key  tile * 2^20 + depth_rank  (rank < 2^20);
+     invalid entries get INT32_MAX. ONE unstable single-key sort orders all
+     entries per-tile front-to-back and sinks the padding to the end. When the
+     fused key would overflow int32 (> 2047 tiles, e.g. 4K frames) the binning
+     automatically switches to an equivalent two-key sort (tile, rank) —
+     slightly slower, resolution-unlimited.
   4. Per-tile [start, count) ranges come from a small searchsorted (T queries).
 
 Everything is static-shaped and jittable; the entry budget is
@@ -69,15 +77,49 @@ def num_tiles(width: int, height: int, tile_w: int = TILE_W, tile_h: int = TILE_
     return tx, ty
 
 
-def _emit_block(x0, y0, nx, count, sel, rank, tiles_x, k_budget: int):
-    """(B, k_budget) fused keys + gaussian ids for the k-th tiles of each
-    selected Gaussian's rect (row-major); invalid slots get INVALID_KEY."""
+def _tile_rect(proj: ProjectedGaussians, tiles_x: int, tiles_y: int,
+               tile_w: int, tile_h: int):
+    """Tight per-Gaussian tile rect (from the per-axis AABB extents) + circle
+    cull data. Returns (vis, x0, y0, nx, count, mx, my, r2)."""
+    means2d = jax.lax.stop_gradient(proj.means2d)
+    mx = means2d[:, 0]
+    my = means2d[:, 1]
+    ex = proj.extents[:, 0]
+    ey = proj.extents[:, 1]
+    r = proj.radii.astype(jnp.float32)
+    vis = proj.visible & (r > 0)
+    x0 = jnp.clip(jnp.floor((mx - ex) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + ex) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + ey) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
+    nx = x1 - x0 + 1
+    count = jnp.where(vis, nx * (y1 - y0 + 1), 0)
+    return vis, x0, y0, nx, count, mx, my, r * r
+
+
+def _emit_block(x0, y0, nx, count, sel, mx, my, r2, tiles_x, n_tiles,
+                tile_w: int, tile_h: int, k_budget: int):
+    """(B, k_budget) tile ids for the k-th tiles of each selected Gaussian's
+    rect (row-major), with the corner-circle cull applied per candidate:
+    a tile whose pixel rect lies entirely outside the cutoff circle cannot
+    receive alpha >= ALPHA_MIN from this Gaussian (the cutoff radius bounds
+    the Mahalanobis level set), so it is culled exactly and conservatively.
+    Invalid/culled slots get tile id ``n_tiles`` (sorts after all real tiles).
+    """
     k = jnp.arange(k_budget, dtype=jnp.int32)[None, :]
     nx_safe = jnp.maximum(nx, 1)[:, None]
     valid = sel[:, None] & (k < count[:, None])
-    tid = (y0[:, None] + k // nx_safe) * tiles_x + (x0[:, None] + k % nx_safe)
-    key = jnp.where(valid, tid * MAX_N + rank[:, None], INVALID_KEY)
-    return key
+    tx = x0[:, None] + k % nx_safe
+    ty = y0[:, None] + k // nx_safe
+    # distance from the Gaussian mean to the tile's pixel rect
+    fx0 = tx.astype(jnp.float32) * tile_w
+    fy0 = ty.astype(jnp.float32) * tile_h
+    dx = jnp.maximum(jnp.maximum(fx0 - mx[:, None],
+                                 mx[:, None] - (fx0 + tile_w)), 0.0)
+    dy = jnp.maximum(jnp.maximum(fy0 - my[:, None],
+                                 my[:, None] - (fy0 + tile_h)), 0.0)
+    valid = valid & (dx * dx + dy * dy <= r2[:, None])
+    return jnp.where(valid, ty * tiles_x + tx, n_tiles)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "pair_capacity",
@@ -101,13 +143,9 @@ def bin_gaussians(
     n_tiles = tiles_x * tiles_y
     n = proj.depths.shape[0]
     assert n <= MAX_N, f"depth-rank field supports up to {MAX_N} Gaussians"
-    assert (n_tiles + 1) * MAX_N < 2**31, (
-        f"{n_tiles} tiles overflow the fused int32 key; use smaller tiles "
-        f"or shard the image (parallel/sharded_render.py)")
-    m_big = max(min(m_big, n // 8), 1)  # scale the big-budget to the scene
+    fused_ok = (n_tiles + 1) * MAX_N < 2**31
+    m_big = max(min(m_big, n), 1)  # never exceed the scene size
 
-    means2d = jax.lax.stop_gradient(proj.means2d)
-    radii = proj.radii.astype(jnp.float32)
     depths = jax.lax.stop_gradient(proj.depths)
 
     # 1. Depth ranks (front-to-back). One small scatter inverts the argsort.
@@ -115,59 +153,59 @@ def bin_gaussians(
     rank = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True)
 
-    # 2. Tile rect per Gaussian.
-    mx = means2d[:, 0]
-    my = means2d[:, 1]
-    r = radii
-    vis = proj.visible & (r > 0)
-    x0 = jnp.clip(jnp.floor((mx - r) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx + r) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - r) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((my + r) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
-    nx = x1 - x0 + 1
-    count = jnp.where(vis, nx * (y1 - y0 + 1), 0)
+    # 2. Tile rect per Gaussian (tight AABB + circle cull).
+    vis, x0, y0, nx, count, mx, my, r2 = _tile_rect(
+        proj, tiles_x, tiles_y, tile_w, tile_h)
 
     small = count <= k_small
-    key_small = _emit_block(x0, y0, nx, jnp.minimum(count, k_small),
-                            vis & small, rank, tiles_x, k_small)
+    tid_small = _emit_block(x0, y0, nx, jnp.minimum(count, k_small),
+                            vis & small, mx, my, r2, tiles_x, n_tiles,
+                            tile_w, tile_h, k_small)
 
     # Large spanners: top m_big by count (one more N-argsort), budget k_big.
     big_score = jnp.where(vis & ~small, count, -1)
     big_idx = jnp.argsort(-big_score)[:m_big]
     big_sel = big_score[big_idx] > 0
-    key_big = _emit_block(
+    tid_big = _emit_block(
         x0[big_idx], y0[big_idx], nx[big_idx],
-        jnp.minimum(count[big_idx], k_big), big_sel, rank[big_idx],
-        tiles_x, k_big)
+        jnp.minimum(count[big_idx], k_big), big_sel, mx[big_idx], my[big_idx],
+        r2[big_idx], tiles_x, n_tiles, tile_w, tile_h, k_big)
 
     g_small = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                                (n, k_small))
     g_big = jnp.broadcast_to(big_idx[:, None].astype(jnp.int32),
                              (m_big, k_big))
-    keys = jnp.concatenate([key_small.reshape(-1), key_big.reshape(-1)])
+    rank_small = jnp.broadcast_to(rank[:, None], (n, k_small))
+    rank_big = jnp.broadcast_to(rank[big_idx][:, None], (m_big, k_big))
+    tids = jnp.concatenate([tid_small.reshape(-1), tid_big.reshape(-1)])
+    ranks = jnp.concatenate([rank_small.reshape(-1), rank_big.reshape(-1)])
     gauss = jnp.concatenate([g_small.reshape(-1), g_big.reshape(-1)])
 
-    # 3. One unstable single-key sort orders everything.
-    keys_sorted, pair_gauss = jax.lax.sort(
-        (keys, gauss), dimension=0, is_stable=False, num_keys=1)
-
-    # 4. Tile ranges via a T-query searchsorted on the fused keys.
-    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(keys_sorted, tile_ids * MAX_N,
-                              side="left").astype(jnp.int32)
+    # 3. One sort orders everything per-tile front-to-back.
+    if fused_ok:
+        keys = jnp.where(tids < n_tiles, tids * MAX_N + ranks, INVALID_KEY)
+        keys_sorted, pair_gauss = jax.lax.sort(
+            (keys, gauss), dimension=0, is_stable=False, num_keys=1)
+        tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(keys_sorted, tile_ids * MAX_N,
+                                  side="left").astype(jnp.int32)
+    else:
+        # 4K+ path: two-key sort, no resolution cap from the fused key.
+        tids_sorted, _, pair_gauss = jax.lax.sort(
+            (tids, ranks, gauss), dimension=0, is_stable=False, num_keys=2)
+        tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(tids_sorted, tile_ids,
+                                  side="left").astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
 
-    # Overflow accounting: big Gaussians clipped at k_big, plus non-selected
-    # large spanners dropped entirely.
+    # Overflow accounting (conservative overestimate: AABB counts, pre-cull):
+    # big Gaussians clipped at k_big, plus non-selected spanners dropped whole.
     clipped_big = jnp.sum(jnp.where(big_sel,
                                     jnp.maximum(count[big_idx] - k_big, 0), 0))
-    n_big_total = jnp.sum((vis & ~small).astype(jnp.int32))
-    n_big_kept = jnp.sum(big_sel.astype(jnp.int32))
     dropped_whole = jnp.sum(
         jnp.where(vis & ~small, count, 0)) - jnp.sum(
         jnp.where(big_sel, count[big_idx], 0))
-    del n_big_total, n_big_kept
 
     return TileBins(
         pair_gauss=pair_gauss,
@@ -178,3 +216,60 @@ def bin_gaussians(
         tiles_x=tiles_x,
         tiles_y=tiles_y,
     )
+
+
+SUGGEST_THRESHOLDS = (4, 8, 16, 32, 64, 128)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h"))
+def pair_count_stats(proj: ProjectedGaussians, width: int, height: int,
+                     tile_w: int = TILE_W, tile_h: int = TILE_H):
+    """Cheap elementwise probe of the binning workload (no sort): per-Gaussian
+    AABB tile counts reduced to the scalars `suggest_budgets` needs."""
+    tiles_x, tiles_y = num_tiles(width, height, tile_w, tile_h)
+    vis, _, _, _, count, _, _, _ = _tile_rect(proj, tiles_x, tiles_y,
+                                              tile_w, tile_h)
+    exceed = jnp.stack([jnp.sum((count > k).astype(jnp.int32))
+                        for k in SUGGEST_THRESHOLDS])
+    return {
+        "n_visible": jnp.sum(vis.astype(jnp.int32)),
+        "sum_count": jnp.sum(count),
+        "max_count": jnp.max(count),
+        "exceed": exceed,   # aligned with SUGGEST_THRESHOLDS
+    }
+
+
+def _pow2_at_least(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def suggest_budgets(proj: ProjectedGaussians, width: int, height: int,
+                    tile_w: int = TILE_W, tile_h: int = TILE_H) -> dict:
+    """Overflow-free static budgets for `bin_gaussians` + the pair capacity,
+    chosen from one device probe (host fetches 4 scalars). Minimises the
+    emission-array size N*k1 + m*k2 subject to zero dropped pairs.
+
+    Returns {"k_small", "m_big", "k_big", "pair_capacity", "n_pairs_upper"}.
+    Re-run per (scene, resolution) bucket; each choice is one cached compile.
+    """
+    stats = jax.device_get(pair_count_stats(proj, width, height,
+                                            tile_w=tile_w, tile_h=tile_h))
+    n = proj.depths.shape[0]
+    max_count = int(stats["max_count"])
+    sum_count = int(stats["sum_count"])
+    k_big = max(_pow2_at_least(max_count), 8)
+    best = None
+    for k1, n_exceed in zip(SUGGEST_THRESHOLDS, stats["exceed"]):
+        m = max(_pow2_at_least(int(n_exceed) + max(int(n_exceed) // 8, 16)), 32)
+        emission = n * k1 + m * k_big
+        if best is None or emission < best[0]:
+            best = (emission, k1, m)
+    _, k_small, m_big = best
+    pair_capacity = _pow2_at_least(sum_count + 1024)
+    return {
+        "k_small": int(k_small),
+        "m_big": int(m_big),
+        "k_big": int(k_big),
+        "pair_capacity": int(pair_capacity),
+        "n_pairs_upper": sum_count,
+    }

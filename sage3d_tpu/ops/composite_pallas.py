@@ -9,23 +9,30 @@ ops/composite_xla.py, re-scheduled for the TPU memory system:
     saturated (transmittance < 1e-4) — the early termination that gives tiled
     rasterizers their 10-100x win on dense scenes. Skipped chunks are neither
     fetched nor computed.
-  * Layout chosen for Mosaic's constraints and vreg efficiency: per-pair
-    features live FEATURE-MAJOR in HBM as (16, P) (lane dim of HBM DMA slices
-    must be 128-aligned), each (16, 128) chunk block is transposed in-VMEM to
-    (128, 16); the alpha matrix is (128 pairs on SUBLANES) x (1024 pixels on
-    LANES), so every per-pixel state row is a dense (1, 1024) vector (8 vregs,
-    no lane padding) and the out block is a dense (NCH, NPIX). Front-to-back
-    transmittance is an exact fp32 prefix product over sublanes via masked
-    pltpu.roll doubling.
+  * The kernel reads the SORTED pair-feature array directly (pair-major
+    (P, 16) rows): per-tile spans start at arbitrary offsets, so each chunk
+    DMA fetches a 144-row window from the 8-row-aligned floor of the span
+    (Mosaic sublane-granularity DMA) and masks the <=7 head rows plus the
+    tail. This removes the round-1 "aligned layout" — an 8.5M-row re-gather
+    on the host side that cost more than the kernel itself.
+  * The alpha matrix is (144 window rows on SUBLANES) x (1024 pixels on
+    LANES), so every per-pixel state row is a dense (1, 1024) vector (8
+    vregs, no lane padding). Front-to-back transmittance is an exact fp32
+    prefix product over sublanes via masked pltpu.roll doubling. Tile-LOCAL
+    quadratic coefficients are derived in-kernel from the global screen mean
+    + tile origin, so per-pair features are purely per-Gaussian and the host
+    side build is ONE row-gather of the (N, 16) attribute table.
   * Backward is a SINGLE forward-order sweep per tile: the suffix sums CUDA
     implementations obtain by back-to-front traversal come from the identity
     B_g = sum_{j>g} c_j w_j = (gbar . acc) - prefix_incl(c w), with acc the
-    saved forward output. d(feats) rows reduce over the pixel sublanes and
-    stream back to HBM through the same DMA pipeline into a zero-initialized
-    aliased buffer, so early-terminated tails stay zero.
-  * Per-pair features are built ONCE in pair-major jnp (gathers) — autodiff's
-    gather transpose scatter-adds pair gradients back onto the Gaussians, so
-    the custom_vjp boundary is exactly the flat compositor.
+    saved forward output. Per-pair gradient rows stream back to HBM through a
+    second DMA pipeline into a zero-initialized aliased CHUNK-SLOT buffer
+    (one 144-row slot per (tile, chunk), so slots never overlap and
+    early-terminated tails stay zero).
+  * The custom_vjp boundary is `attrs -> tile images`: its backward fuses the
+    chunk-slot gradient rows back onto the Gaussians with ONE (gid, slotpos)
+    sort + ONE row-gather + a cumsum/boundary segment-sum — never a
+    duplicated scatter-add (XLA serializes those on TPU).
 """
 
 from __future__ import annotations
@@ -39,14 +46,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE_H, TILE_W, TileBins
-from .gather_ops import gather_rows, gather_rows_unique
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
 
-CHUNK = 128          # Gaussians per chunk = lane count of the alpha matrix
-NPIX = TILE_W * TILE_H  # 1024 pixels per tile = sublane count
-NFEAT = 16           # feature rows per pair (padded to 16)
+CHUNK = 128          # Gaussians advanced per pipeline step
+WIN = 144            # DMA window rows: 8-aligned floor + <=7 head + 128 + pad
+NPIX = TILE_W * TILE_H  # 1024 pixels per tile = lane count of the alpha matrix
+NFEAT = 16           # feature lanes per pair (padded to 16)
 NCH = 8              # out channels: r,g,b,depth,alpha,trans,best_w,best_id
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
+GUARD = 256          # feature-array tail padding so window DMAs stay in range
 
 
 def _pixel_rows():
@@ -57,105 +65,52 @@ def _pixel_rows():
     return px, py
 
 
-def _sub_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+def _row_iota(rows: int, base: int = 0):
+    return jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + base
 
 
-def _alpha_matrix(co_t, lane_count, ox, oy):
-    """(CHUNK, NPIX) alpha of each pair at each tile pixel; plus raw pre-clamp.
+def _alpha_rows(co, row_ok, ox, oy, rows: int):
+    """(rows, NPIX) alpha of each window row's pair at each tile pixel.
 
-    ``co_t`` is the transposed (CHUNK, NFEAT) attribute block — columns are
-    (CHUNK, 1) sublane vectors broadcast against the (1, NPIX) pixel rows:
+    ``co`` is the (rows, NFEAT) attribute block — columns are (rows, 1)
+    sublane vectors broadcast against the (1, NPIX) pixel rows:
     [a, b, c (conic), Cx, Cy (GLOBAL screen mean), opacity, r, g, b, depth,
-    sem, pad...]. The tile-LOCAL quadratic coefficients are derived here from
-    the tile origin (ox, oy): attributes are therefore purely per-Gaussian,
-    so the host-side build is ONE row-gather instead of per-pair math.
-    Pairs on sublanes / pixels on lanes keeps per-pixel state rows dense.
+    sem, pad...]. ``row_ok`` masks the unaligned window head and the tail.
+    Returns (alpha, raw) with masked rows forced to 0 (identity for scans).
     """
-    a = co_t[:, 0:1]
-    b = co_t[:, 1:2]
-    c = co_t[:, 2:3]
-    cx = co_t[:, 3:4] - ox
-    cy = co_t[:, 4:5] - oy
+    a = co[:, 0:1]
+    b = co[:, 1:2]
+    c = co[:, 2:3]
+    cx = co[:, 3:4] - ox
+    cy = co[:, 4:5] - oy
     w0 = -0.5 * (a * cx * cx + c * cy * cy) - b * cx * cy
     wx = a * cx + b * cy
     wy = c * cy + b * cx
     px, py = _pixel_rows()
     power = (w0 + wx * px + wy * py
              - 0.5 * a * (px * px) - 0.5 * c * (py * py) - b * (px * py))
-    raw = co_t[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
+    raw = co[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
     raw = jnp.where(power > 0.0, 0.0, raw)
-    raw = jnp.where(_sub_iota() < lane_count, raw, 0.0)
+    raw = jnp.where(row_ok, raw, 0.0)
     alpha = jnp.minimum(raw, ALPHA_MAX)
     alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
     return alpha, raw
 
 
-def _scan_products(one_minus_alpha):
+def _scan_products(x, rows: int):
     """Inclusive prefix product over sublanes via masked roll doubling."""
-    x = one_minus_alpha
-    sub = _sub_iota()
+    sub = _row_iota(rows)
     k = 1
-    while k < CHUNK:
+    while k < rows:
         rolled = pltpu.roll(x, k, 0)
         x = x * jnp.where(sub >= k, rolled, 1.0)
         k *= 2
-    return x  # x[g, :] = prod_{j<=g} (1 - alpha_j)
+    return x  # x[g, :] = prod_{j<=g} x_in[j, :]
 
 
-def _scan_sums(v):
+def _scan_sums(v, rows: int):
     """Inclusive prefix sum over sublanes via masked roll doubling."""
-    x = v
-    sub = _sub_iota()
-    k = 1
-    while k < CHUNK:
-        rolled = pltpu.roll(x, k, 0)
-        x = x + jnp.where(sub >= k, rolled, 0.0)
-        k *= 2
-    return x
-
-
-def _shift_one(x, fill):
-    rolled = pltpu.roll(x, 1, 0)
-    return jnp.where(_sub_iota() >= 1, rolled, fill)
-
-
-# Row-count-parameterized variants (the backward works on half chunks to keep
-# its larger working set resident in VMEM).
-
-def _alpha_half(co_t, lane_count, ox, oy, rows: int):
-    a = co_t[:, 0:1]
-    b = co_t[:, 1:2]
-    c = co_t[:, 2:3]
-    cx = co_t[:, 3:4] - ox
-    cy = co_t[:, 4:5] - oy
-    w0 = -0.5 * (a * cx * cx + c * cy * cy) - b * cx * cy
-    wx = a * cx + b * cy
-    wy = c * cy + b * cx
-    px, py = _pixel_rows()
-    power = (w0 + wx * px + wy * py
-             - 0.5 * a * (px * px) - 0.5 * c * (py * py) - b * (px * py))
-    raw = co_t[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
-    raw = jnp.where(power > 0.0, 0.0, raw)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    raw = jnp.where(sub < lane_count, raw, 0.0)
-    alpha = jnp.minimum(raw, ALPHA_MAX)
-    alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
-    return alpha, raw
-
-
-def _scan_products_n(x, rows: int):
-    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    k = 1
-    while k < rows:
-        rolled = pltpu.roll(x, k, 0)
-        x = x * jnp.where(sub >= k, rolled, 1.0)
-        k *= 2
-    return x
-
-
-def _scan_sums_n(v, rows: int):
-    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    sub = _row_iota(rows)
     x = v
     k = 1
     while k < rows:
@@ -165,10 +120,9 @@ def _scan_sums_n(v, rows: int):
     return x
 
 
-def _shift_one_n(x, fill, rows: int):
-    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+def _shift_one(x, fill, rows: int):
     rolled = pltpu.roll(x, 1, 0)
-    return jnp.where(sub >= 1, rolled, fill)
+    return jnp.where(_row_iota(rows) >= 1, rolled, fill)
 
 
 # ---------------------------------------------------------------------------
@@ -180,13 +134,15 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
+    base = (start // 8) * 8
+    off = start - base
     n_chunks = pl.cdiv(count, CHUNK)
     ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma(slot, k):
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK)],
+            feats_hbm.at[pl.ds(pl.multiple_of(base + k * CHUNK, 8), WIN), :],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -205,31 +161,33 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
             dma((k + 1) % 2, k + 1).start()
 
         dma(k % 2, k).wait()
-        co_t = jnp.transpose(scratch[k % 2], (1, 0))  # (CHUNK, NFEAT)
+        co = scratch[k % 2]                           # (WIN, NFEAT)
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
-        alpha, _ = _alpha_matrix(co_t, lane_count, ox, oy)  # (CHUNK, NPIX)
-        incl = _scan_products(1.0 - alpha)
-        excl = _shift_one(incl, 1.0)
-        w = alpha * trans * excl                      # (CHUNK, NPIX)
+        sub = _row_iota(WIN)
+        row_ok = (sub >= off) & (sub < off + lane_count)
+        alpha, _ = _alpha_rows(co, row_ok, ox, oy, WIN)   # (WIN, NPIX)
+        incl = _scan_products(1.0 - alpha, WIN)
+        excl = _shift_one(incl, 1.0, WIN)
+        w = alpha * trans * excl                      # (WIN, NPIX)
 
         acc = acc + jnp.concatenate([
-            jnp.sum(w * co_t[:, 6:7], axis=0, keepdims=True),
-            jnp.sum(w * co_t[:, 7:8], axis=0, keepdims=True),
-            jnp.sum(w * co_t[:, 8:9], axis=0, keepdims=True),
-            jnp.sum(w * co_t[:, 9:10], axis=0, keepdims=True),
+            jnp.sum(w * co[:, 6:7], axis=0, keepdims=True),
+            jnp.sum(w * co[:, 7:8], axis=0, keepdims=True),
+            jnp.sum(w * co[:, 8:9], axis=0, keepdims=True),
+            jnp.sum(w * co[:, 9:10], axis=0, keepdims=True),
             jnp.sum(w, axis=0, keepdims=True),
         ], axis=0)                                    # (5, NPIX)
 
         cmax = jnp.max(w, axis=0, keepdims=True)      # (1, NPIX)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
-        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), sub, CHUNK),
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (WIN, NPIX), 0)
+        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), sub2, WIN),
                             axis=0, keepdims=True)
-        sel = jnp.sum(jnp.where(sub == first_max, co_t[:, 10:11], 0.0),
+        sel = jnp.sum(jnp.where(sub2 == first_max, co[:, 10:11], 0.0),
                       axis=0, keepdims=True)
         better = cmax > best_w
         best_w = jnp.where(better, cmax, best_w)
         best_id = jnp.where(better, sel, best_id)
-        trans = trans * incl[CHUNK - 1:CHUNK, :]
+        trans = trans * incl[WIN - 1:WIN, :]
         return k + 1, acc, trans, best_w, best_id
 
     init = (jnp.int32(0),
@@ -255,26 +213,32 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, fwd_ref,
-                gout_ref, dfeats_init_hbm, dfeats_hbm, scratch, dscratch,
-                sems, dsems):
+HALF = WIN // 2      # backward sub-block rows (VMEM working-set control)
+
+
+def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
+                fwd_ref, gout_ref, dfeats_init_hbm, dfeats_hbm, scratch,
+                dscratch, sems, dsems):
     del dfeats_init_hbm  # aliased into dfeats_hbm (pre-zeroed)
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
+    ch0 = chunk0_ref[t]
+    base = (start // 8) * 8
+    off = start - base
     n_chunks = pl.cdiv(count, CHUNK)
     ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma_in(slot, k):
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK)],
+            feats_hbm.at[pl.ds(pl.multiple_of(base + k * CHUNK, 8), WIN), :],
             scratch.at[slot], sems.at[slot])
 
     def dma_out(slot, k):
         return pltpu.make_async_copy(
             dscratch.at[slot],
-            dfeats_hbm.at[:, pl.ds(pl.multiple_of(start + k * CHUNK, CHUNK), CHUNK)],
+            dfeats_hbm.at[pl.ds(pl.multiple_of((ch0 + k) * WIN, 8), WIN), :],
             dsems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -309,44 +273,44 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, fwd_ref,
         def _drain():
             dma_out(k % 2, k - 2).wait()
 
-        co_full = jnp.transpose(scratch[k % 2], (1, 0))  # (CHUNK, NFEAT)
+        co_full = scratch[k % 2]                      # (WIN, NFEAT)
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
 
-        # Process the chunk in HALF-sized sub-blocks: the backward needs ~15
-        # live (rows, NPIX) matrices, and at rows=CHUNK that overflows VMEM
-        # into spill traffic. rows=CHUNK//2 keeps the working set resident;
+        # Process the window in HALF-sized sub-blocks: the backward needs ~12
+        # live (rows, NPIX) matrices, and at rows=WIN that overflows VMEM
+        # into spill traffic. rows=HALF keeps the working set resident;
         # transmittance/prefix carries chain across the halves exactly.
         dsub_parts = []
         for h in range(2):
-            half = CHUNK // 2
-            co_t = co_full[h * half:(h + 1) * half, :]   # (half, NFEAT)
-            lc = jnp.clip(lane_count - h * half, 0, half)
-            alpha, raw = _alpha_half(co_t, lc, ox, oy, half)
-            incl = _scan_products_n(1.0 - alpha, half)
-            excl = _shift_one_n(incl, 1.0, half)
+            co = co_full[h * HALF:(h + 1) * HALF, :]   # (HALF, NFEAT)
+            sub_g = _row_iota(HALF, base=h * HALF)
+            row_ok = (sub_g >= off) & (sub_g < off + lane_count)
+            alpha, raw = _alpha_rows(co, row_ok, ox, oy, HALF)
+            incl = _scan_products(1.0 - alpha, HALF)
+            excl = _shift_one(incl, 1.0, HALF)
             t_at = trans * excl
-            w = alpha * t_at                              # (half, NPIX)
+            w = alpha * t_at                              # (HALF, NPIX)
 
-            c = (co_t[:, 6:7] * g0 + co_t[:, 7:8] * g1 + co_t[:, 8:9] * g2
-                 + co_t[:, 9:10] * g3 + g4)
-            incl_cw = prefix + _scan_sums_n(c * w, half)
+            c = (co[:, 6:7] * g0 + co[:, 7:8] * g1 + co[:, 8:9] * g2
+                 + co[:, 9:10] * g3 + g4)
+            incl_cw = prefix + _scan_sums(c * w, HALF)
             om = 1.0 - alpha
             dalpha = c * t_at - (s_pix - incl_cw) / om - g_t * t_fin / om
             active = (alpha > 0.0) & (raw <= ALPHA_MAX)
             dalpha = jnp.where(active, dalpha, 0.0)
             dpower = dalpha * alpha
 
-            op = co_t[:, 5:6]
+            op = co[:, 5:6]
             dop = jnp.sum(dalpha * alpha, axis=1,
                           keepdims=True) / jnp.where(op > 0, op, 1.0)
 
             # power = -0.5(a dx^2 + c dy^2) - b dx dy, dx = px - (Cx - ox)
             px, py = _pixel_rows()
-            ca = co_t[:, 0:1]
-            cb = co_t[:, 1:2]
-            cc = co_t[:, 2:3]
-            dx = px - (co_t[:, 3:4] - ox)                 # (half, NPIX)
-            dy = py - (co_t[:, 4:5] - oy)
+            ca = co[:, 0:1]
+            cb = co[:, 1:2]
+            cc = co[:, 2:3]
+            dx = px - (co[:, 3:4] - ox)                 # (HALF, NPIX)
+            dy = py - (co[:, 4:5] - oy)
             d_a = jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True)
             d_b = jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True)
             d_c = jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True)
@@ -356,16 +320,15 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, fwd_ref,
             df_g = jnp.sum(g1 * w, axis=1, keepdims=True)
             df_b = jnp.sum(g2 * w, axis=1, keepdims=True)
             df_d = jnp.sum(g3 * w, axis=1, keepdims=True)
-            zeros = jnp.zeros((half, 1), jnp.float32)
+            zeros = jnp.zeros((HALF, 1), jnp.float32)
             dsub_parts.append(jnp.concatenate(
                 [d_a, d_b, d_c, d_cx, d_cy, dop, df_r, df_g, df_b, df_d,
                  zeros, zeros, zeros, zeros, zeros, zeros], axis=1))
 
-            trans = trans * incl[half - 1:half, :]
-            prefix = incl_cw[half - 1:half, :]
+            trans = trans * incl[HALF - 1:HALF, :]
+            prefix = incl_cw[HALF - 1:HALF, :]
 
-        dchunk = jnp.concatenate(dsub_parts, axis=0)      # (CHUNK, NFEAT)
-        dscratch[k % 2] = jnp.transpose(dchunk, (1, 0))   # (NFEAT, CHUNK)
+        dscratch[k % 2] = jnp.concatenate(dsub_parts, axis=0)  # (WIN, NFEAT)
         dma_out(k % 2, k).start()
         return k + 1, trans, prefix
 
@@ -393,19 +356,27 @@ def _use_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _get_flat_composite(n_tiles: int, tiles_x: int, p_al: int, interpret: bool):
-    """custom_vjp'd flat compositor for a static (tiles, capacity) config."""
+def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
+                        n_gauss: int, interpret: bool):
+    """custom_vjp'd attrs->tiles compositor for a static shape config.
+
+    fwd: one (N,16)->(P,16) row gather + the Pallas forward kernel.
+    bwd: the Pallas backward kernel into the chunk-slot gradient buffer,
+    then ONE (gid, slotpos) sort + ONE row gather + cumsum/boundary
+    segment-sum back to d_attrs — the TPU-fast replacement for the
+    duplicated scatter-add a CUDA rasterizer would use.
+    """
     fwd_kernel = functools.partial(_fwd_kernel, tiles_x)
     bwd_kernel = functools.partial(_bwd_kernel, tiles_x)
 
-    def fwd_call(feats_t, tile_start, tile_count):
+    def fwd_call(feats, tile_start, tile_count):
         grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+                pltpu.VMEM((2, WIN, NFEAT), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -414,51 +385,82 @@ def _get_flat_composite(n_tiles: int, tiles_x: int, p_al: int, interpret: bool):
             grid_spec=grid,
             out_shape=jax.ShapeDtypeStruct((n_tiles, NCH, NPIX), jnp.float32),
             interpret=interpret,
-        )(tile_start, tile_count, feats_t)
+        )(tile_start, tile_count, feats)
 
-    def bwd_call(feats_t, tile_start, tile_count, fwd_out, gout):
+    def bwd_call(feats, tile_start, tile_count, chunk0, fwd_out, gout):
         grid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
-                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c, z: (t, 0, 0)),
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c, z: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
-                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+                pltpu.VMEM((2, WIN, NFEAT), jnp.float32),
+                pltpu.VMEM((2, WIN, NFEAT), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        zeros = jnp.zeros_like(feats_t)
+        zeros = jnp.zeros((p_grad, NFEAT), jnp.float32)
         return pl.pallas_call(
             bwd_kernel,
             grid_spec=grid,
-            out_shape=jax.ShapeDtypeStruct(feats_t.shape, jnp.float32),
-            input_output_aliases={5: 0},  # zeros arg (incl. prefetch) -> out
+            out_shape=jax.ShapeDtypeStruct((p_grad, NFEAT), jnp.float32),
+            input_output_aliases={6: 0},  # zeros arg (incl. prefetch) -> out
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(tile_start, tile_count, feats_t, fwd_out, gout, zeros)
+        )(tile_start, tile_count, chunk0, feats, fwd_out, gout, zeros)
+
+    def _gather_feats(attrs, pair_gauss):
+        idx = jnp.concatenate(
+            [pair_gauss, jnp.zeros((p_pad - pair_gauss.shape[0],), jnp.int32)])
+        return attrs[idx]                             # (P_pad, 16) row gather
 
     @jax.custom_vjp
-    def flat_composite(feats_t, tile_start, tile_count):
-        return fwd_call(feats_t, tile_start, tile_count)
+    def attr_composite(attrs, pair_gauss, tile_start, tile_count, chunk0,
+                       slotpos):
+        feats = _gather_feats(attrs, pair_gauss)
+        return fwd_call(feats, tile_start, tile_count)
 
-    def _fwd(feats_t, tile_start, tile_count):
-        out = fwd_call(feats_t, tile_start, tile_count)
-        return out, (feats_t, tile_start, tile_count, out)
+    def _fwd(attrs, pair_gauss, tile_start, tile_count, chunk0, slotpos):
+        feats = _gather_feats(attrs, pair_gauss)
+        out = fwd_call(feats, tile_start, tile_count)
+        return out, (feats, pair_gauss, tile_start, tile_count, chunk0,
+                     slotpos, out)
 
     def _bwd(res, gout):
-        feats_t, tile_start, tile_count, fwd_out = res
-        dfeats = bwd_call(feats_t, tile_start, tile_count, fwd_out, gout)
-        return dfeats, None, None
+        feats, pair_gauss, tile_start, tile_count, chunk0, slotpos, fwd_out = res
+        dslots = bwd_call(feats, tile_start, tile_count, chunk0, fwd_out, gout)
+        # Fused gather-transpose: order pair gradient rows by Gaussian id with
+        # ONE sort carrying the slot positions, gather those rows ONCE, then
+        # segment-sum via cumsum + per-Gaussian boundary lookups.
+        p = pair_gauss.shape[0]
+        gid_s, pos_s = jax.lax.sort((pair_gauss, slotpos), dimension=0,
+                                    is_stable=False, num_keys=1)
+        safe = jnp.clip(pos_s, 0, p_grad - 1)
+        ct = jnp.where((pos_s < p_grad)[:, None], dslots[safe], 0.0)
+        csum = jnp.cumsum(ct, axis=0)
+        change = gid_s[1:] != gid_s[:-1]
+        is_last = jnp.concatenate([change, jnp.array([True])])
+        is_first = jnp.concatenate([jnp.array([True]), change])
+        ar = jnp.arange(p, dtype=jnp.int32)
+        hi = jnp.zeros((n_gauss,), jnp.int32).at[
+            jnp.where(is_last, gid_s, n_gauss)].set(
+            ar + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+        lo = jnp.zeros((n_gauss,), jnp.int32).at[
+            jnp.where(is_first, gid_s, n_gauss)].set(
+            ar, mode="drop", unique_indices=True, indices_are_sorted=True)
+        zero_row = jnp.zeros((1, NFEAT), jnp.float32)
+        csum_ext = jnp.concatenate([zero_row, csum], axis=0)
+        d_attrs = csum_ext[hi] - csum_ext[lo]         # (N, 16)
+        return d_attrs, None, None, None, None, None
 
-    flat_composite.defvjp(_fwd, _bwd)
-    return flat_composite
+    attr_composite.defvjp(_fwd, _bwd)
+    return attr_composite
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
@@ -475,8 +477,8 @@ def composite_tiles_pallas(
     """Composite via the Pallas kernels. Same output schema as composite_tiles.
 
     ``pair_capacity`` (static, 0 = the binning entry budget) trims the sorted
-    pair array: the aligned work layout and feature gathers are sized by it,
-    so callers bound memory/time; trimmed pairs are counted as overflow.
+    pair array: the feature gather and kernel work lists are sized by it, so
+    callers bound memory/time; trimmed pairs are counted as overflow.
     """
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     n_tiles = tiles_x * tiles_y
@@ -491,71 +493,39 @@ def composite_tiles_pallas(
     tile_count_t = jnp.clip(
         jnp.minimum(bins.tile_start + bins.tile_count, pair_capacity)
         - tile_start_t, 0, None)
+    count_c = jnp.minimum(tile_count_t, tile_capacity).astype(jnp.int32)
 
-    # 128-aligned per-tile pair layout (Mosaic DMA lane alignment) with
-    # feature-major storage. The whole build is autodiffed jnp — its gather
-    # transpose scatter-adds pair gradients back onto the Gaussians.
-    count_c = jnp.minimum(tile_count_t, tile_capacity)
-    padded_counts = -(-count_c // CHUNK) * CHUNK
-    aligned_end = jnp.cumsum(padded_counts)
-    aligned_start = (aligned_end - padded_counts).astype(jnp.int32)
-    p_al = (-(-pair_capacity // CHUNK)) * CHUNK + CHUNK * n_tiles  # static
+    # Chunk-slot layout for the backward gradient stream: tile t's chunk k
+    # owns rows [(chunk0[t]+k)*WIN, ...+WIN) — disjoint per (tile, chunk), so
+    # the backward kernel streams whole windows with no cross-tile overlap.
+    nc = -(-count_c // CHUNK)                          # chunks per tile (T,)
+    chunk0 = (jnp.cumsum(nc) - nc).astype(jnp.int32)   # exclusive prefix
+    c_cap = pair_capacity // CHUNK + n_tiles           # static upper bound
+    p_grad = c_cap * WIN
+    p_pad = pair_capacity + GUARD
 
-    # Per-position tile bookkeeping WITHOUT per-position gathers: random
-    # gathers cost ~10 ns/row on TPU, so an 8.6M searchsorted (11 chained
-    # gathers) would dominate the whole render. Instead scatter the per-tile
-    # values at their aligned starts and forward-fill with a monotonic
-    # cummax — three cheap scans replace five giant gathers.
-    # Per-position tile bookkeeping at CHUNK granularity: every aligned tile
-    # span is a whole number of 128-pair chunks, so per-tile values broadcast
-    # from (n_chunks,) to positions with pure elementwise math. jnp.repeat
-    # with a static total length keeps everything 128x smaller than
-    # per-position fills (and avoids traced-index scatters, which XLA
-    # serializes, and 1-D traced gathers at ~230 ns/element).
-    c_cap = p_al // CHUNK
-    nc = (padded_counts // CHUNK).astype(jnp.int32)   # chunks per tile
-    total_chunks = aligned_end[-1] // CHUNK
-
-    def chunk_fill(values):  # (T,) -> (c_cap,) per-chunk copy of my tile's value
-        return jnp.repeat(values, nc, total_repeat_length=c_cap)
-
-    ch_start = chunk_fill(aligned_start)              # aligned start of my tile
-    ch_fend = chunk_fill(aligned_start + count_c.astype(jnp.int32))
-    ch_pair0 = chunk_fill(bins.tile_start)
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    pos2 = (jnp.arange(c_cap, dtype=jnp.int32) * CHUNK)[:, None] + lane
-    chunk_valid = (jnp.arange(c_cap, dtype=jnp.int32) < total_chunks)[:, None]
-    within = pos2 - ch_start[:, None]
-    valid = (chunk_valid & (pos2 < ch_fend[:, None])).reshape(-1)
-    # invalid positions index out of range -> gather_rows_unique yields zeros
-    orig = jnp.where(valid.reshape(pos2.shape),
-                     jnp.clip(ch_pair0[:, None] + within, 0,
-                              pair_capacity - 1),
-                     pair_capacity).reshape(-1)
-
-    # Analytic inverse of the aligned layout over the SORTED pair domain (for
-    # the gather backward): sorted pair p of tile t sits at aligned position
-    # aligned_start[t] + (p - tile_start[t]). Per-position tile values come
-    # from a tiny delta-scatter + cumsum (deltas may be negative; the running
-    # sum still reconstructs each tile's value on its own span).
-    def fill_pairs(values):  # (T,) -> (P,) value of my tile at each position
+    # Per-sorted-position slot positions, built elementwise: per-tile values
+    # are spread over the pair axis with a tiny delta-scatter + cumsum
+    # (positions = tile starts, values may decrease; the running sum still
+    # reconstructs each tile's value on its own span) — never a big gather.
+    def fill_pairs(values):  # (T,) int32 -> (P,) value of my tile at each pos
         deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
         sc = jnp.zeros((pair_capacity,), jnp.int32).at[tile_start_t].add(
             deltas.astype(jnp.int32), mode="drop")
         return jnp.cumsum(sc)
 
     pos_p = jnp.arange(pair_capacity, dtype=jnp.int32)
-    offset_p = fill_pairs(aligned_start.astype(jnp.int32)
-                          - tile_start_t.astype(jnp.int32))
-    end_p = fill_pairs((tile_start_t + count_c).astype(jnp.int32))
-    inv = jnp.where(pos_p < end_p, pos_p + offset_p, p_al)
+    start_f = fill_pairs(tile_start_t)
+    chunk0_f = fill_pairs(chunk0)
+    end_f = fill_pairs(tile_start_t + count_c)
+    offset = pos_p - start_f
+    k_f = offset // CHUNK
+    slotpos = (chunk0_f + k_f) * WIN + (start_f % 8) + (offset % CHUNK)
+    slotpos = jnp.where(pos_p < end_f, slotpos, p_grad)
 
-    # Attribute build: the per-Gaussian table is assembled ONCE (N rows), then
-    # per-pair features come from a SINGLE row-gather + one transpose. Big
-    # random gathers are the wrapper's true cost on TPU (~10 ns/row), so one
-    # gather of 16-float rows beats 12 per-column gathers by an order of
-    # magnitude; tile-local coefficients are derived INSIDE the kernel from
-    # the global mean + tile origin.
+    # Per-Gaussian attribute table, assembled ONCE (N rows); tile-local
+    # quadratic coefficients are derived INSIDE the kernel from the global
+    # mean + tile origin, so attributes are purely per-Gaussian.
     n = proj.depths.shape[0]
     attrs = jnp.stack([
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
@@ -568,18 +538,10 @@ def composite_tiles_pallas(
         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
         jnp.zeros((n,), jnp.float32),
     ], axis=1)                                                # (N, 16)
-    # Two ROW-gathers (16 floats/row amortize the per-row gather cost ~25x
-    # better than 1-D gathers on TPU): Gaussian attrs -> sorted pair order,
-    # then sorted pairs -> the 128-aligned layout. Both use custom VJPs so the
-    # backward is sort+segment-sum / unique-scatter instead of XLA's
-    # serialized duplicated scatter-add (ops/gather_ops.py).
-    pair_attrs_sorted = gather_rows(attrs, pair_gauss_t)      # (P, 16)
-    pair_attrs = gather_rows_unique(pair_attrs_sorted, orig, inv)  # (P_al, 16)
-    pair_attrs = pair_attrs.at[:, 5].multiply(valid.astype(jnp.float32))
-    feats_t = pair_attrs.T                                    # (16, P_al)
 
-    flat = _get_flat_composite(n_tiles, tiles_x, p_al, _use_interpret())
-    out = flat(feats_t, aligned_start, count_c.astype(jnp.int32))
+    flat = _get_attr_composite(n_tiles, tiles_x, p_pad, p_grad, n,
+                               _use_interpret())
+    out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0, slotpos)
 
     imgs = out.transpose(0, 2, 1).reshape(tiles_y, tiles_x, TILE_H, TILE_W,
                                            NCH)

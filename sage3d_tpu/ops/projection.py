@@ -36,6 +36,7 @@ class ProjectedGaussians(NamedTuple):
     colors: jnp.ndarray     # (N, 3) view-dependent RGB
     opacities: jnp.ndarray  # (N,)
     visible: jnp.ndarray    # (N,) bool
+    extents: jnp.ndarray    # (N, 2) tight AABB half-extents in pixels (x, y)
 
 
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
@@ -108,10 +109,22 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
     inv_det = 1.0 / det_safe
     conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    # Conservative extent: 3 sigma of the major axis.
+    # Exact opacity-aware extent: the compositors zero alpha below ALPHA_MIN
+    # (classic 3DGS cutoff, composite_ref/alpha_at), so the LAST contributing
+    # pixel satisfies op * exp(-0.5 m2) >= ALPHA_MIN, i.e. Mahalanobis
+    # m <= s = sqrt(2 ln(op / ALPHA_MIN)). Using s instead of the classic
+    # hardcoded 3 keeps binning both TIGHT for transparent Gaussians and
+    # CONSERVATIVE for opaque ones (s > 3 when op > e^4.5/255 ~ 0.35, where
+    # a fixed 3-sigma rect would drop pixels the oracle still shades).
+    op = jax.lax.stop_gradient(scene.opacities)
+    cut2 = 2.0 * jnp.log(jnp.maximum(op, ALPHA_MIN) / ALPHA_MIN)
+    s_cut = jnp.sqrt(jnp.maximum(cut2, 1e-6))
     mid = 0.5 * (a + c)
     eig_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
-    radii_f = jnp.ceil(3.0 * jnp.sqrt(eig_max))
+    radii_f = jnp.ceil(s_cut * jnp.sqrt(eig_max)) + 1.0
+    # Tight per-axis AABB of the cutoff ellipse: half-extents s*sqrt(diag cov).
+    ext_x = jnp.ceil(s_cut * jnp.sqrt(jnp.maximum(a, 0.0))) + 1.0
+    ext_y = jnp.ceil(s_cut * jnp.sqrt(jnp.maximum(c, 0.0))) + 1.0
 
     # View-dependent color.
     view_dirs = scene.means - camera.position
@@ -119,10 +132,12 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
     colors = eval_sh(scene.sh, view_dirs, sh_degree)
 
     # Frustum/validity culling (kept as a mask: shapes stay static under jit).
-    inside = ((u + radii_f > 0) & (u - radii_f < camera.width)
-              & (v + radii_f > 0) & (v - radii_f < camera.height))
-    visible = (tz > camera.near) & (tz < camera.far) & (det > 0) & inside
+    inside = ((u + ext_x > 0) & (u - ext_x < camera.width)
+              & (v + ext_y > 0) & (v - ext_y < camera.height))
+    visible = ((tz > camera.near) & (tz < camera.far) & (det > 0) & inside
+               & (op > ALPHA_MIN))
     radii = jnp.where(visible, radii_f, 0.0).astype(jnp.int32)
+    extents = jnp.where(visible[:, None], jnp.stack([ext_x, ext_y], -1), 0.0)
 
     return ProjectedGaussians(
         means2d=means2d,
@@ -132,6 +147,7 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
         colors=colors,
         opacities=scene.opacities,
         visible=visible,
+        extents=extents,
     )
 
 
