@@ -102,8 +102,16 @@ def run_episode(
     use_depth: bool = False,
     record_video: bool = False,
     verbose: bool = False,
+    map_file: Optional[str] = None,
+    visualize: bool = True,
 ) -> Dict[str, Any]:
-    """Run one closed-loop episode. Returns the measurement record."""
+    """Run one closed-loop episode. Returns the measurement record.
+
+    With ``output_dir`` set, also writes the reference's per-episode
+    artifacts: measurements JSON, ``episode.log`` (run_benchmark.py:
+    1075-1128) and — when ``map_file``/``visualize`` allow — the trajectory
+    PNG (:1780-1795, :781-994).
+    """
     if task_type is None:
         task_type = TaskTypeManager.infer_task_type(episode)
     adapted = adapt_episode_for_task(episode, task_type)
@@ -218,6 +226,38 @@ def run_episode(
             json.dump(record, f, indent=2)
         if record_video:
             env.write_video(str(ep_dir / "episode.mp4"))
+        # per-episode episode.log (run_benchmark.py:1075-1128)
+        from ..utils.logging import EpisodeLogger
+        with EpisodeLogger(str(ep_dir / "episode.log"), quiet=True) as elog:
+            info = record["episode_info"]
+            elog.log(f"[EPISODE] id={info['episode_id']} "
+                     f"scene={info['scene_name']} task={info['task_type']}")
+            elog.log(f"[EPISODE] instruction: {info['instruction']}")
+            elog.log(f"[EPISODE] steps={info['steps_run']} "
+                     f"stop_called={info['stop_called']} "
+                     f"mean_policy_latency_s="
+                     f"{info['mean_policy_latency_s']:.3f}")
+            for k, v in record["measurements"].items():
+                elog.log(f"[MEASURE] {k}={v}")
+        # per-episode trajectory PNG (run_benchmark.py:1780-1795, :781-994)
+        map_path = map_file or getattr(env, "semantic_map_path", None)
+        if visualize and map_path:
+            try:
+                from .visualize import visualize_trajectory
+                with open(map_path) as f:
+                    map_data = json.load(f)
+                goal = (episode["goals"][0].get("position")
+                        if episode.get("goals") else None)
+                visualize_trajectory(
+                    trajectory_positions, map_data,
+                    ep_dir / f"trajectory_{record['episode_info']['episode_id']}.png",
+                    gt_locations=episode.get("gt_locations"),
+                    goal_world=goal,
+                    title=record["episode_info"]["episode_id"],
+                    measurements=record["measurements"])
+            except Exception as e:  # visualization must never kill an episode
+                if verbose:
+                    print(f"[WARN] trajectory visualization failed: {e}")
     if verbose:
         print(f"[EPISODE] {record['episode_info']['episode_id']}: "
               f"{record['measurements']}")

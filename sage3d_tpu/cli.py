@@ -32,6 +32,19 @@ import sys
 from pathlib import Path
 
 
+def _first_scene_asset(scenes_root: str) -> str:
+    """First scene asset in a folder (warm-up scene for the shared batch env)."""
+    root = Path(scenes_root)
+    for cand in sorted(root.glob("*.ply")):
+        return str(cand)
+    for cand in sorted(root.iterdir()):
+        if cand.is_dir():
+            for inner in (cand / "scene.ply", cand / "manifest.json"):
+                if inner.exists():
+                    return str(inner)
+    raise FileNotFoundError(f"no scene assets under {scenes_root}")
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", type=str, default=None,
                    help="JSON config file (utils/config.py schema)")
@@ -52,6 +65,39 @@ def cmd_run_benchmark(args) -> int:
     if args.ultra_fast:
         cfg.apply_fast_mode("ultra")
 
+    if args.test_dir:
+        # Batch mode: recursive test_*.json discovery + per-file scene/map
+        # auto-matching + shared-env hot-swap (run_benchmark.py:2137-2351).
+        from .bench.batch import run_batch_benchmark
+        if not (args.scenes_root and args.map_root):
+            print("[ERROR] batch mode needs --scenes-root and --map-root")
+            return 1
+        env = GaussianVLNEnv(
+            args.scene or _first_scene_asset(args.scenes_root),
+            map_json=None,
+            width=cfg.renderer.width, height=cfg.renderer.height,
+            backend=None if cfg.renderer.backend == "auto"
+            else cfg.renderer.backend,
+            robot_radius_m=cfg.physics.robot_radius_m)
+        policy = make_socket_policy(model_type=args.model_type,
+                                    host=args.host, port=args.port)
+        summary = run_batch_benchmark(
+            env, args.test_dir, args.scenes_root, args.map_root, policy,
+            args.output_dir, goal_radius=cfg.benchmark.goal_radius,
+            max_steps=cfg.benchmark.max_steps,
+            max_episodes_per_file=args.max_episodes,
+            skip_completed=not args.no_skip_completed,
+            model_info=args.model_type, instance_id=args.instance_id,
+            total_instances=args.total_instances, quiet=False,
+            use_depth=cfg.benchmark.use_depth,
+            record_video=cfg.benchmark.record_video)
+        print(json.dumps(summary["batch_summary"], indent=2))
+        return 0
+
+    if not (args.scene and args.test_json):
+        print("[ERROR] single-scene mode needs --scene and --test-json "
+              "(or use --test-dir batch mode)")
+        return 1
     test_files = sorted(glob.glob(args.test_json, recursive=True)) \
         if any(ch in args.test_json for ch in "*?") else [args.test_json]
     if not test_files:
@@ -85,7 +131,8 @@ def cmd_run_benchmark(args) -> int:
         skip_completed=not args.no_skip_completed,
         use_depth=cfg.benchmark.use_depth,
         record_video=cfg.benchmark.record_video,
-        task_type=cfg.benchmark.task_type, quiet=False)
+        task_type=cfg.benchmark.task_type, quiet=False,
+        map_file=args.map)
     print(json.dumps(summary.get("metrics", {}), indent=2))
     return 0
 
@@ -119,10 +166,18 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("run-benchmark", help="closed-loop SAGE-Bench evaluation")
-    p.add_argument("--scene", required=True, help="scene PLY / bundle")
+    p.add_argument("--scene", default=None, help="scene PLY / bundle "
+                   "(single-scene mode; optional warm-up scene in batch mode)")
     p.add_argument("--map", default=None, help="2D semantic map JSON")
-    p.add_argument("--test-json", required=True,
-                   help="GVLN test file or glob (test_*.json)")
+    p.add_argument("--test-json", default=None,
+                   help="GVLN test file or glob (single-scene mode)")
+    p.add_argument("--test-dir", default=None,
+                   help="batch mode: directory scanned recursively for "
+                        "test_*.json; scenes/maps auto-matched per file")
+    p.add_argument("--scenes-root", default=None,
+                   help="batch mode: folder of scene assets")
+    p.add_argument("--map-root", default=None,
+                   help="batch mode: folder of 2D semantic maps")
     p.add_argument("--output-dir", default="outputs/benchmark")
     p.add_argument("--model-type", default="scripted",
                    choices=["scripted", "navila", "navid", "navdp"])
@@ -360,6 +415,21 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=54321)
     p.add_argument("--device", default="cpu")
     p.set_defaults(fn=cmd_serve_mllm)
+
+    p = sub.add_parser("serve-video",
+                       help="NaVILA-class 8-frame video-prompt server")
+    p.add_argument("--model-id", required=True)
+    p.add_argument("--port", type=int, default=54321)
+    p.add_argument("--device", default="cpu")
+    p.add_argument("--num-video-frames", type=int, default=8)
+
+    def _serve_video(a):
+        from .serve.mllm_server import HFVideoAdapter, MLLMServer
+        adapter = HFVideoAdapter(a.model_id, device=a.device,
+                                 num_video_frames=a.num_video_frames)
+        MLLMServer(adapter, port=a.port, verbose=True).serve_forever()
+        return 0
+    p.set_defaults(fn=_serve_video)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -92,27 +92,55 @@ class MockLLMClient(LLMClient):
         self.accept_all_pairs = accept_all_pairs
         self.calls: List[Dict[str, Any]] = []
 
+    TYPE_PHRASES = {
+        "Add_Object": "Carry the book from the {start} over to the {end}.",
+        "Scenario_Driven": "I left my keys by the {end}; please go there "
+                           "from the {start}.",
+        "Relative_Relationship": "Head to the {end} that sits across from "
+                                 "the {start}.",
+        "Attribute-based": "Find the large {end}, starting out at the {start}.",
+        "Area-based": "Go from the {start} to the area around the {end}.",
+    }
+
     def chat(self, messages, temperature: float = 0.7,
              max_tokens: int = 2048) -> str:
         content = messages[-1]["content"] if messages else ""
+        full = "\n".join(m.get("content", "") for m in messages)
         self.calls.append({"content": content})
 
-        if "meaningful" in content.lower() and "pair" in content.lower():
+        # pairwise judgement (template contract: JSON array with pair_id)
+        if "pair_id" in full and "meaningful" in full.lower():
+            entries = re.findall(r'"pair_id"\s*:\s*(\d+)\s*,\s*"start"\s*:\s*'
+                                 r'"([^"]*)"\s*,\s*"end"\s*:\s*"([^"]*)"',
+                                 content)
+            if entries:
+                return json.dumps([
+                    {"pair_id": int(i), "start": s, "end": e,
+                     "meaningful": bool(self.accept_all_pairs)}
+                    for i, s, e in entries])
             pairs = re.findall(r"\d+\s*[.:]", content)
-            n = max(len(pairs), 1)
             verdict = "yes" if self.accept_all_pairs else "no"
-            return json.dumps({str(i + 1): verdict for i in range(n)})
+            return json.dumps({str(i + 1): verdict
+                               for i in range(max(len(pairs), 1))})
 
-        if "instruction" in content.lower():
-            m_type = re.search(r"instruction[_ ]type\s*[:=]\s*([\w-]+)", content)
-            itype = m_type.group(1) if m_type else "AC"
-            m_start = re.search(r"start\s*[:=]\s*([\w .-]+)", content)
-            m_end = re.search(r"end\s*[:=]\s*([\w .-]+)", content)
-            start = (m_start.group(1).strip() if m_start else "starting point")
-            end = (m_end.group(1).strip() if m_end else "destination")
-            tmpl = self.INSTRUCTION_TEMPLATES.get(
-                itype, self.INSTRUCTION_TEMPLATES["AC"])
-            return tmpl.format(start=start, end=end)
+        # trajectory -> instructions (template contract: typed JSON array)
+        if "starting_point" in content or "instruction" in full.lower():
+            m_start = re.search(r'"starting_point"\s*:\s*"([^"]+)"', content)
+            m_end = re.search(r'"end_point"\s*:\s*"([^"]+)"', content)
+            start = m_start.group(1) if m_start else "starting point"
+            end = m_end.group(1) if m_end else "destination"
+            records = []
+            for itype, phrase in self.TYPE_PHRASES.items():
+                for k in range(2):   # template asks for 2-4 per type
+                    text = phrase.format(start=start, end=end)
+                    if k:
+                        text = text.replace("Go ", "Walk ").replace(
+                            "Head ", "Make your way ").replace(
+                            "Find ", "Locate ").replace("Carry ", "Bring ")
+                    records.append({"instruction_type": itype, "start": start,
+                                    "end": end,
+                                    "generated_instruction": text})
+            return json.dumps(records)
 
         # scene-text generation: summarize label keys deterministically
         keys = re.findall(r"label_\w+", content)

@@ -18,20 +18,12 @@ from .llm import LLMClient, MockLLMClient
 WORKERS = 16  # scene_text_generator.py:260-287 thread pool
 
 
-SYSTEM_PROMPT = (
-    "You are a scene-understanding assistant. Given a list of objects with "
-    "their 3D axis-aligned bounding boxes, produce a concise natural-language "
-    "map of the scene: group objects into functional areas, mention object IDs "
-    "in parentheses, and describe notable spatial relations.")
-
-
 def build_messages(scene_entries: Dict[str, str]) -> List[Dict[str, str]]:
-    body = json.dumps(scene_entries, indent=1)
-    return [
-        {"role": "system", "content": SYSTEM_PROMPT},
-        {"role": "user", "content": f"Objects with AABBs:\n{body}\n"
-                                    f"Write the scene text map."},
-    ]
+    """Few-shot phy->sem template (prompts/prompt_phy_to_sem.json, mirroring
+    the reference's loaded prompt scene_text_generator.py + prompt_phy_to_sem):
+    system rules + one worked user/assistant example + the scene payload."""
+    from .prompt_templates import phy_to_sem_messages
+    return phy_to_sem_messages(scene_entries)
 
 
 def process_scene(scene_key: str, scene_json_path, output_dir,

@@ -37,8 +37,10 @@ from scipy.ndimage import distance_transform_edt
 from scipy.ndimage import label as nd_label
 
 from .astar import (astar_pixel, instance_centroid_px,
-                    nearest_free_pixel_on_side)
+                    nearest_free_pixel_on_side, plan_many)
 from .llm import LLMClient, MockLLMClient, robust_json_parse
+from .prompt_templates import (pairwise_judgement_messages,
+                               traj_to_instruction_messages)
 
 # Constants mirrored from vln_trajectory_generator.py:63-85
 ROBOT_RADIUS_M = 0.2
@@ -54,8 +56,9 @@ MAX_DISTANCE_THRESHOLD = 20.0
 INCREMENTAL_SAVE_THRESHOLD = 5
 JUDGE_WORKERS = 32
 
-INSTRUCTION_TYPES = ("Add_Object", "Scenario_Driven", "Relative_Relationship",
-                     "Attribute-based", "Area-based")
+# Instruction taxonomy comes from the few-shot template module (the
+# template-driven contract of prompt_traj_to_instruction.json).
+from .prompt_templates import INSTRUCTION_TYPES  # noqa: E402  (re-export)
 
 SIMILAR_GROUPS = [
     {"chair", "stool", "armchair"},
@@ -206,20 +209,25 @@ def judge_pairs_batch(client: LLMClient, pairs: Sequence[Tuple[str, str]],
     batches = [pairs[i:i + batch_size] for i in range(0, len(pairs), batch_size)]
 
     def judge(batch):
-        listing = "\n".join(f"{i + 1}. {s} -> {e}"
-                            for i, (s, e) in enumerate(batch))
-        msg = [{"role": "user", "content":
-                f"Scene map:\n{scene_text}\n\nAre these navigation endpoint "
-                f"pairs meaningful for instructions? Answer as JSON "
-                f'{{"1": "yes"|"no", ...}}.\npair list:\n{listing}'}]
+        msg = pairwise_judgement_messages(scene_text, batch)
         text = client.chat_with_retry(msg)
         if text is None:
             return [False] * len(batch)
         parsed = robust_json_parse(text)
-        if not isinstance(parsed, dict):
-            return [False] * len(batch)
-        return [str(parsed.get(str(i + 1), "no")).lower().startswith("y")
-                for i in range(len(batch))]
+        # template contract: JSON array of {pair_id, start, end, meaningful}
+        if isinstance(parsed, list):
+            verdicts = [False] * len(batch)
+            for entry in parsed:
+                if isinstance(entry, dict) and "pair_id" in entry:
+                    i = int(entry["pair_id"])
+                    if 0 <= i < len(batch):
+                        verdicts[i] = bool(entry.get("meaningful", False))
+            return verdicts
+        # legacy dict format {"1": "yes", ...} still tolerated
+        if isinstance(parsed, dict):
+            return [str(parsed.get(str(i + 1), "no")).lower().startswith("y")
+                    for i in range(len(batch))]
+        return [False] * len(batch)
 
     results: List[bool] = []
     with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -288,6 +296,64 @@ def validate_and_generate_path(start_item: str, end_item: str,
             "points": generate_trajectory_points(path, scale, min_x, min_y)}
 
 
+def _snap_pair(start_item: str, end_item: str, itemid2inst: Dict[str, Dict],
+               grid: np.ndarray, comp: Optional[np.ndarray]):
+    """Endpoint snapping half of validate_and_generate_path: (s_px, g_px)
+    as (x, y) tuples, or None when the pair can't be planned."""
+    s_inst = itemid2inst.get(start_item)
+    g_inst = itemid2inst.get(end_item)
+    if not s_inst or not g_inst:
+        return None
+    s_cent = instance_centroid_px(s_inst.get("mask_coords", []))
+    g_cent = instance_centroid_px(g_inst.get("mask_coords", []))
+    if not s_cent or not g_cent:
+        return None
+    s_px = nearest_free_pixel_on_side(s_inst.get("mask_coords", []), grid,
+                                      towards_px=g_cent)
+    g_px = nearest_free_pixel_on_side(g_inst.get("mask_coords", []), grid,
+                                      towards_px=s_cent)
+    if not s_px or not g_px:
+        return None
+    if comp is not None and not same_component(comp, s_px, g_px):
+        return None
+    return s_px, g_px
+
+
+def validate_and_generate_paths_batch(
+    pairs: Sequence[Tuple[str, str]],
+    itemid2inst: Dict[str, Dict],
+    grid: np.ndarray,
+    scale: float,
+    min_x: float,
+    min_y: float,
+    comp: Optional[np.ndarray] = None,
+    wavefront_batch: int = 16,
+) -> List[Optional[Dict]]:
+    """Batched planning for many pairs at once: snap every endpoint on the
+    host, then compute geodesic distance fields for ALL starts in parallel on
+    the device (`wavefront_distances` — the batched planner astar.py exists
+    for) and recover paths by greedy descent. Produces shortest 8-connected
+    paths on the same grid as `astar_pixel` (identical reachability and
+    length; tie-broken differently). One device program per
+    ``wavefront_batch`` pairs replaces that many serial host A* runs."""
+    snapped = [_snap_pair(s, e, itemid2inst, grid, comp) for s, e in pairs]
+    idx = [i for i, sn in enumerate(snapped) if sn is not None]
+    out: List[Optional[Dict]] = [None] * len(pairs)
+    if not idx:
+        return out
+    starts = np.array([[snapped[i][0][1], snapped[i][0][0]] for i in idx])
+    goals = np.array([[snapped[i][1][1], snapped[i][1][0]] for i in idx])
+    paths = plan_many(grid == 0, starts, goals, batch=wavefront_batch)
+    for i, path_yx in zip(idx, paths):
+        if path_yx is None:
+            continue
+        path_xy = [(x, y) for (y, x) in path_yx]
+        out[i] = {"start": pairs[i][0], "end": pairs[i][1],
+                  "points": generate_trajectory_points(path_xy, scale,
+                                                       min_x, min_y)}
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Instructions
 # ---------------------------------------------------------------------------
@@ -295,22 +361,33 @@ def validate_and_generate_path(start_item: str, end_item: str,
 def generate_instructions(client: LLMClient, scene_text: str, start_item: str,
                           end_item: str,
                           types: Sequence[str] = INSTRUCTION_TYPES) -> List[Dict]:
-    """One instruction record per type, with default fallback on failure
-    (:1607-1643 retry; :2078-2111 timeout-default substitution)."""
-    out = []
-    for itype in types:
-        msg = [{"role": "user", "content":
-                f"Generate one navigation instruction.\n"
-                f"instruction_type: {itype}\nstart: {start_item}\n"
-                f"end: {end_item}\nscene map:\n{scene_text}"}]
-        text = client.chat_with_retry(msg)
-        if not text:
-            text = f"Navigate from the {start_item} to the {end_item}."
-            itype_out = "Default"
-        else:
-            itype_out = itype
-        out.append({"instruction_type": itype_out, "start": start_item,
-                    "end": end_item, "generated_instruction": text.strip()})
+    """Template-driven instruction generation: ONE few-shot LLM call returns
+    2-4 instructions per type as a JSON array (prompt_traj_to_instruction,
+    the reference's loaded template vln_trajectory_generator.py:2306-2309),
+    with per-type default fallback on failure (:1607-1643 retry; :2078-2111
+    timeout-default substitution)."""
+    msg = traj_to_instruction_messages(scene_text, start_item, end_item)
+    text = client.chat_with_retry(msg)
+    parsed = robust_json_parse(text) if text else None
+    out: List[Dict] = []
+    if isinstance(parsed, list):
+        for entry in parsed:
+            if not isinstance(entry, dict):
+                continue
+            instr = str(entry.get("generated_instruction", "")).strip()
+            itype = str(entry.get("instruction_type", "")).strip()
+            if instr and itype in types:
+                out.append({"instruction_type": itype,
+                            "start": str(entry.get("start", start_item)),
+                            "end": str(entry.get("end", end_item)),
+                            "generated_instruction": instr})
+    covered = {rec["instruction_type"] for rec in out}
+    for itype in types:              # default-substitute any missing type
+        if itype not in covered:
+            out.append({"instruction_type": "Default",
+                        "start": start_item, "end": end_item,
+                        "generated_instruction":
+                        f"Navigate from the {start_item} to the {end_item}."})
     return out
 
 
@@ -332,6 +409,116 @@ def count_existing_trajectories(scene_out: Path, scene_key: str) -> int:
     return total
 
 
+def _existing_traj_pairs(scene_out: Path) -> List[Tuple[str, str]]:
+    """(start, end) item pairs of every saved trajectory sample."""
+    pairs = []
+    for f in sorted(scene_out.glob("trajectories_*_part*.json")):
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            continue
+        for scene in data.get("scenes", []):
+            for sample in scene.get("samples", []):
+                instr = sample.get("instructions") or [{}]
+                s, e = instr[0].get("start"), instr[0].get("end")
+                if s and e:
+                    pairs.append((str(s), str(e)))
+    return pairs
+
+
+def check_endpoint_trajectory_pairs(scene_out: Path, scene_key: str,
+                                    prefix: str = "gvln") -> Dict:
+    """Reconciliation audit (vln_trajectory_generator.py:970-1060): compare
+    the endpoint file against the trajectory part files and report the
+    missing halves on each side."""
+    scene_out = Path(scene_out)
+    ep_file = scene_out / f"endpoints_{prefix}_{scene_key}.json"
+    endpoints: List[Dict] = []
+    if ep_file.exists():
+        try:
+            with open(ep_file) as f:
+                endpoints = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            endpoints = []
+    ep_pairs = [(str(e["start"]), str(e["end"])) for e in endpoints
+                if "start" in e and "end" in e]
+    traj_pairs = _existing_traj_pairs(scene_out)
+    traj_set = set(traj_pairs)
+    ep_set = set(ep_pairs)
+    return {
+        "endpoint_file": str(ep_file),
+        "endpoints": ep_pairs,
+        "trajectories": traj_pairs,
+        "missing_trajectories": [p for p in ep_pairs if p not in traj_set],
+        "missing_endpoints": [p for p in traj_pairs if p not in ep_set],
+    }
+
+
+def reconcile_endpoints_trajectories(
+    scene_key: str,
+    sem_data: List[Dict],
+    output_dir,
+    client: Optional[LLMClient] = None,
+    scene_text: str = "",
+    prefix: str = "gvln",
+) -> Dict:
+    """Regenerate the missing half of each endpoint<->trajectory pair
+    (vln_trajectory_generator.py:970-1060, 1687-1737): endpoints recorded
+    without a saved trajectory get their paths re-planned and instructions
+    regenerated into a new part file; trajectory pairs absent from the
+    endpoint file are appended to it. Returns a summary of what was healed."""
+    client = client or MockLLMClient()
+    scene_out = Path(output_dir) / scene_key
+    scene_out.mkdir(parents=True, exist_ok=True)
+    audit = check_endpoint_trajectory_pairs(scene_out, scene_key, prefix)
+
+    regenerated = 0
+    if audit["missing_trajectories"]:
+        grid, scale, min_x, min_y = build_2d_map(sem_data)
+        if grid is not None:
+            comp = build_connectivity(grid)
+            itemid2inst = item_index(sem_data)
+            next_id = count_existing_trajectories(scene_out, scene_key)
+            samples = []
+            for s, e in audit["missing_trajectories"]:
+                rec = validate_and_generate_path(s, e, itemid2inst, grid,
+                                                 scale, min_x, min_y,
+                                                 comp=comp)
+                if rec is None:
+                    continue
+                samples.append({
+                    "trajectory_id": str(next_id + len(samples)),
+                    "instructions": generate_instructions(client, scene_text,
+                                                          s, e),
+                    "points": rec["points"],
+                })
+            if samples:
+                part_idx = len(list(
+                    scene_out.glob("trajectories_*_part*.json")))
+                payload = {"scenes": [{"scene_id": scene_key,
+                                       "scene_name": scene_key,
+                                       "samples": samples}]}
+                with open(scene_out / f"trajectories_{prefix}_{scene_key}"
+                          f"_part{part_idx}.json", "w") as f:
+                    json.dump(payload, f, indent=2)
+                regenerated = len(samples)
+
+    appended = 0
+    if audit["missing_endpoints"]:
+        endpoints = [{"start": s, "end": e} for s, e in audit["endpoints"]]
+        for s, e in audit["missing_endpoints"]:
+            endpoints.append({"start": s, "end": e})
+            appended += 1
+        with open(Path(audit["endpoint_file"]), "w") as f:
+            json.dump(endpoints, f, indent=2)
+
+    return {"scene": scene_key, "regenerated_trajectories": regenerated,
+            "appended_endpoints": appended,
+            "missing_trajectories": len(audit["missing_trajectories"]),
+            "missing_endpoints": len(audit["missing_endpoints"])}
+
+
 def process_scene(
     scene_key: str,
     sem_data: List[Dict],
@@ -349,6 +536,12 @@ def process_scene(
     output_dir = Path(output_dir)
     scene_out = output_dir / scene_key
     scene_out.mkdir(parents=True, exist_ok=True)
+
+    # Heal interrupted runs first: regenerate missing endpoint/trajectory
+    # halves before counting (vln_trajectory_generator.py:1687-1737).
+    reconcile_endpoints_trajectories(scene_key, sem_data, output_dir,
+                                     client=client, scene_text=scene_text,
+                                     prefix=prefix)
 
     existing_count = count_existing_trajectories(scene_out, scene_key)
     if existing_count >= min_trajs:
@@ -393,9 +586,16 @@ def process_scene(
         if not pairs:
             continue
         meaningful = judge_pairs_batch(client, pairs, scene_text)
-        for s, e in meaningful:
-            rec = validate_and_generate_path(s, e, itemid2inst, grid, scale,
-                                             min_x, min_y, comp=comp)
+        # Batched wavefront planning for multi-pair batches (one device
+        # program per 16 pairs); serial A* kept for tiny batches.
+        if len(meaningful) >= 4:
+            recs = validate_and_generate_paths_batch(
+                meaningful, itemid2inst, grid, scale, min_x, min_y, comp=comp)
+        else:
+            recs = [validate_and_generate_path(s, e, itemid2inst, grid, scale,
+                                               min_x, min_y, comp=comp)
+                    for s, e in meaningful]
+        for (s, e), rec in zip(meaningful, recs):
             if rec is None:
                 continue
             instructions = generate_instructions(client, scene_text, s, e)

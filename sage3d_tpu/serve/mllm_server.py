@@ -78,6 +78,86 @@ class CallableAdapter(MLLMAdapter):
         return self.fn(images, instruction)
 
 
+class VideoPromptAdapter(MLLMAdapter):
+    """NaVILA-class multi-frame video-prompt hosting (navila_server.py:264-315).
+
+    Normalizes the incoming frame history to ``num_video_frames`` (front-pad
+    by repeating the first frame, keep the most recent on overflow — the
+    8-frame sliding-buffer contract of RGBInputProcessor,
+    vlm_client_modular.py:54-82), builds the reference's video prompt with
+    one image slot per history frame plus the current observation, and calls
+    ``model_fn(frames, prompt) -> text``. The raw text is returned verbatim:
+    NaVILA-style servers reply free-form ("turn left 30 degrees", "move
+    forward 75 cm"); the CLIENT parses it (TextOutputParser,
+    vlm_client_modular.py:244-299 == serve/client.py).
+    """
+
+    IMAGE_TOKEN = "<image>\n"
+
+    def __init__(self, model_fn: Callable[[List, str], str],
+                 num_video_frames: int = 8):
+        self.model_fn = model_fn
+        self.num_video_frames = num_video_frames
+
+    def normalize_frames(self, images: List) -> List:
+        n = self.num_video_frames
+        if not images:
+            return []
+        if len(images) < n:
+            return [images[0]] * (n - len(images)) + list(images)
+        return list(images[-n:])
+
+    def build_video_prompt(self, instruction: str) -> str:
+        tok = self.IMAGE_TOKEN
+        return (
+            "Imagine you are a robot programmed for navigation tasks. You "
+            "have been given a video of historical observations "
+            f"{tok * (self.num_video_frames - 1)}, and current observation "
+            f'{tok}. Your assigned task is: "{instruction}" Analyze this '
+            "series of images to decide your next action, which could be "
+            "turning left or right by a specific degree, moving forward a "
+            "certain distance, or stop if the task is completed.")
+
+    def generate_response(self, images, instruction):
+        frames = self.normalize_frames(images)
+        prompt = self.build_video_prompt(instruction)
+        return self.model_fn(frames, prompt)
+
+    def extract_action(self, text: str) -> str:
+        # NaVILA replies are parsed client-side; pass the raw text through.
+        return text
+
+
+class HFVideoAdapter(VideoPromptAdapter):
+    """VideoPromptAdapter over a HuggingFace multimodal model: ALL frames go
+    to the processor (one image content slot per frame), fixing the round-1
+    single-image truncation."""
+
+    def __init__(self, model_id: str, device: str = "cpu",
+                 num_video_frames: int = 8, max_new_tokens: int = 64):
+        from transformers import AutoModelForVision2Seq, AutoProcessor
+        self.processor = AutoProcessor.from_pretrained(model_id)
+        self.model = AutoModelForVision2Seq.from_pretrained(model_id)
+        self.model.to(device)
+        self.device = device
+        self.max_new_tokens = max_new_tokens
+
+        def _fn(frames, prompt):
+            messages = [{"role": "user", "content": (
+                [{"type": "image"} for _ in frames]
+                + [{"type": "text", "text": prompt}])}]
+            text = self.processor.apply_chat_template(
+                messages, add_generation_prompt=True)
+            inputs = self.processor(text=text, images=frames,
+                                    return_tensors="pt").to(self.device)
+            out = self.model.generate(**inputs,
+                                      max_new_tokens=self.max_new_tokens)
+            return self.processor.batch_decode(
+                out, skip_special_tokens=True)[-1]
+
+        super().__init__(_fn, num_video_frames=num_video_frames)
+
+
 class HFAdapter(MLLMAdapter):
     """HuggingFace multimodal adapter (Qwen-VL/LLaVA/InternVL families).
 

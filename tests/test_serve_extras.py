@@ -79,3 +79,38 @@ def test_render_cost_model():
     m = render_cost_model(1_000_000, 1920, 1080, 6_000_000)
     assert m["total_flops"] > 0 and m["total_bytes"] > 0
     assert m["compositing"]["flops"] > m["projection"]["flops"]
+
+
+def test_video_prompt_adapter_8frame_wire_roundtrip():
+    """NaVILA-class hosting (navila_server.py:264-315): the server builds the
+    8-slot video prompt, feeds ALL frames to the model, returns raw text; the
+    navila client config (8-frame history + TextOutputParser) parses it."""
+    from sage3d_tpu.serve.client import create_vlm_client
+    from sage3d_tpu.serve.mllm_server import MLLMServer, VideoPromptAdapter
+
+    seen = {}
+
+    def fake_model(frames, prompt):
+        seen["n_frames"] = len(frames)
+        seen["prompt"] = prompt
+        return "I should turn left 30 degrees."
+
+    adapter = VideoPromptAdapter(fake_model, num_video_frames=8)
+    with MLLMServer(adapter, port=0) as srv:
+        client = create_vlm_client(model_name="navila", host="127.0.0.1",
+                                   port=srv.port)
+        img = np.zeros((16, 16, 3), np.uint8)
+        resp = client.query([img], "go to the kitchen", current_yaw=0.0)
+
+    assert seen["n_frames"] == 8                      # front-padded history
+    assert seen["prompt"].count("<image>") == 8       # 7 history + 1 current
+    assert '"go to the kitchen"' in seen["prompt"]
+    assert resp["yaw_rate"] > 0 and not resp["stop"]  # parsed client-side
+
+
+def test_video_prompt_adapter_frame_normalization():
+    from sage3d_tpu.serve.mllm_server import VideoPromptAdapter
+    ad = VideoPromptAdapter(lambda f, p: "stop", num_video_frames=4)
+    assert ad.normalize_frames([]) == []
+    assert ad.normalize_frames([1, 2]) == [1, 1, 1, 2]
+    assert ad.normalize_frames([1, 2, 3, 4, 5, 6]) == [3, 4, 5, 6]
