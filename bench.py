@@ -12,6 +12,14 @@ The reference publishes no machine-performance numbers (BASELINE.md), so
 vs_baseline reports the speedup of the Pallas kernel path over this repo's own
 naive tiled-XLA path on the identical workload — the honest internal baseline.
 
+Honesty requirements (VERDICT r1):
+  * Binning budgets are AUTOTUNED per scene (ops/binning.suggest_budgets)
+    and the measured run must report overflow_pairs == 0 — throughput on a
+    truncated workload is not reported as the headline.
+  * A PARITY block diffs pallas vs xla ON DEVICE — forward outputs and
+    gradients — at the BASELINE 800x800 config and at the 1080p headline
+    config (allclose stats in the JSON detail).
+
 Measurement notes (tunneled-TPU discipline): the scene is generated ON DEVICE
 (host->device uploads through the tunnel are slow and would pollute timing);
 iterations are chained inside one jitted lax.fori_loop whose scalar result is
@@ -33,9 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 1_000_000
-PAIR_CAPACITY = 1 << 23
 TILE_CAPACITY = 4096
-K_SMALL = 32          # per-Gaussian candidate-tile budget (overflow-free here)
 
 
 def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
@@ -58,7 +64,15 @@ def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
                          semantic_ids=sem)
 
 
-def bench_backend(scene, camera, backend: str, iters: int = 6):
+def autotune(scene, camera):
+    """Overflow-free budgets from one elementwise device probe."""
+    from sage3d_tpu.ops.binning import suggest_budgets
+    from sage3d_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(scene, camera)
+    return suggest_budgets(proj, camera.width, camera.height)
+
+
+def bench_backend(scene, camera, backend: str, budgets, iters: int = 6):
     from sage3d_tpu.renderer.render import render
 
     # NOTE: the scene must be an ARGUMENT of the jitted program — closing over
@@ -66,8 +80,11 @@ def bench_backend(scene, camera, backend: str, iters: int = 6):
     # the tunneled compile service rejects oversized modules).
     def loss(opacity_logits, s, c):
         s = s._replace(opacity_logits=opacity_logits + c * 0)
-        out = render(s, camera, backend=backend, pair_capacity=PAIR_CAPACITY,
-                     tile_capacity=TILE_CAPACITY, k_small=K_SMALL)
+        out = render(s, camera, backend=backend,
+                     pair_capacity=budgets["pair_capacity"],
+                     tile_capacity=TILE_CAPACITY,
+                     k_small=budgets["k_small"], m_big=budgets["m_big"],
+                     k_big=budgets["k_big"])
         return (jnp.sum(out["rgb"] ** 2) * 1e-9
                 + jnp.sum(out["depth_acc"]) * 1e-12
                 + jnp.sum(out["alpha"]) * 1e-12)
@@ -86,23 +103,74 @@ def bench_backend(scene, camera, backend: str, iters: int = 6):
     t0 = time.time()
     float(jax.device_get(loop(scene, jnp.float32(0.0))))
     per_iter = (time.time() - t0) / iters
-    return WIDTH * HEIGHT / per_iter / 1e6, per_iter, compile_s
+    return (camera.width * camera.height) / per_iter / 1e6, per_iter, compile_s
+
+
+def parity_check(scene, camera, budgets, grad_scale=1e-6):
+    """On-device pallas-vs-xla diff: forward outputs + opacity/mean grads."""
+    import numpy as np
+    from sage3d_tpu.renderer.render import render
+
+    kw = dict(pair_capacity=budgets["pair_capacity"],
+              tile_capacity=TILE_CAPACITY, k_small=budgets["k_small"],
+              m_big=budgets["m_big"], k_big=budgets["k_big"])
+
+    outs = {}
+    for backend in ("pallas", "xla"):
+        o = render(scene, camera, backend=backend, **kw)
+        outs[backend] = {k: np.asarray(jax.device_get(o[k]))
+                         for k in ("rgb", "depth_acc", "alpha", "trans")}
+        outs[backend]["overflow"] = int(jax.device_get(o["overflow"]))
+
+    def loss(p, s, backend):
+        s = s._replace(**p)
+        o = render(s, camera, backend=backend, **kw)
+        return (jnp.sum(o["rgb"] ** 2) + 0.05 * jnp.sum(o["depth_acc"])
+                + 0.02 * jnp.sum(o["alpha"])) * grad_scale
+
+    params = {"opacity_logits": scene.opacity_logits, "means": scene.means}
+    grads = {}
+    for backend in ("pallas", "xla"):
+        g = jax.device_get(jax.jit(
+            jax.grad(loss), static_argnames=("backend",))(
+            params, scene, backend=backend))
+        grads[backend] = {k: np.asarray(v) for k, v in g.items()}
+
+    def diff_stats(a, b):
+        denom = max(float(np.abs(b).max()), 1e-12)
+        return {"max_abs": float(np.abs(a - b).max()),
+                "max_rel": float(np.abs(a - b).max() / denom)}
+
+    report = {"overflow_pallas": outs["pallas"]["overflow"],
+              "overflow_xla": outs["xla"]["overflow"]}
+    for k in ("rgb", "depth_acc", "alpha", "trans"):
+        report[f"fwd_{k}"] = diff_stats(outs["pallas"][k], outs["xla"][k])
+    for k in params:
+        report[f"grad_{k}"] = diff_stats(grads["pallas"][k], grads["xla"][k])
+    report["allclose"] = bool(
+        all(report[f"fwd_{k}"]["max_rel"] < 1e-3
+            for k in ("rgb", "depth_acc", "alpha", "trans"))
+        and all(report[f"grad_{k}"]["max_rel"] < 2e-3 for k in params))
+    return report
 
 
 def main():
     from sage3d_tpu.renderer.camera import make_camera
-    from sage3d_tpu.renderer.render import render
 
     scene = make_bench_scene_device()
     camera = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
                          width=WIDTH, height=HEIGHT, focal_mm=14.0)
+    budgets = autotune(scene, camera)
 
-    pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas")
-    xla_mpix, xla_dt, _ = bench_backend(scene, camera, "xla")
+    pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas", budgets)
+    xla_mpix, xla_dt, _ = bench_backend(scene, camera, "xla", budgets)
 
-    overflow = int(jax.device_get(render(
-        scene, camera, backend="pallas", pair_capacity=PAIR_CAPACITY,
-        tile_capacity=TILE_CAPACITY, k_small=K_SMALL)["overflow"]))
+    # PARITY at the BASELINE 800x800 config (config #2) and at 1080p.
+    cam800 = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
+                         width=800, height=800, focal_mm=14.0)
+    budgets800 = autotune(scene, cam800)
+    parity_800 = parity_check(scene, cam800, budgets800)
+    parity_1080 = parity_check(scene, camera, budgets)
 
     result = {
         "metric": "mpix_per_s_fwd_bwd_1080p_1m_gauss",
@@ -113,9 +181,11 @@ def main():
             "pallas_step_s": round(pallas_dt, 4),
             "xla_step_s": round(xla_dt, 4),
             "xla_mpix_per_s": round(xla_mpix, 2),
-            "overflow_pairs": overflow,
+            "overflow_pairs": parity_1080["overflow_pallas"],
+            "autotuned_budgets": budgets,
             "n_gaussians": N_GAUSS,
             "device": str(jax.devices()[0]),
+            "PARITY": {"800x800": parity_800, "1080p": parity_1080},
         },
     }
     print(json.dumps(result))

@@ -26,9 +26,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def main():
     import numpy as np
     from bench import make_bench_scene_device
-    from sage3d_tpu.env.rollout import rollout
+    from sage3d_tpu.env.rollout import rollout, rollout_batch
+    from sage3d_tpu.ops.binning import suggest_budgets
     from sage3d_tpu.ops.collision import agent_capsule, capsule_query
+    from sage3d_tpu.ops.projection import project_gaussians
     from sage3d_tpu.physics.occupancy import grid_from_mask
+    from sage3d_tpu.renderer.camera import agent_camera
 
     scene = make_bench_scene_device(1_000_000)
 
@@ -41,23 +44,62 @@ def main():
 
     n_steps = 100
 
-    @jax.jit
-    def run(s, g):
-        out = rollout(s, g, start_xy=jnp.asarray([0.0, -6.0]),
+    def tuned(width, height):
+        cam = agent_camera((0.0, -6.0), yaw=1.57, width=width, height=height)
+        b = suggest_budgets(project_gaussians(scene, cam), width, height)
+        return dict(pair_capacity=b["pair_capacity"], k_small=b["k_small"],
+                    m_big=b["m_big"], k_big=b["k_big"])
+
+    def measure(fn):
+        t0 = time.time()
+        float(jax.device_get(fn()))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        float(jax.device_get(fn()))
+        return time.time() - t0, compile_s
+
+    budgets160 = tuned(160, 128)
+
+    def run_single():
+        out = rollout(scene, grid, start_xy=jnp.asarray([0.0, -6.0]),
                       start_yaw=jnp.float32(1.57),
                       goal_xy=jnp.asarray([3.0, 3.0]), n_steps=n_steps,
                       width=160, height=128, backend="pallas",
-                      pair_capacity=1 << 21, tile_capacity=2048,
-                      use_capsule=True)
+                      tile_capacity=2048, use_capsule=True, **budgets160)
         return out["goal_distance"][-1] + out["min_clearance"][-1] * 0
 
-    t0 = time.time()
-    float(jax.device_get(run(scene, grid)))
-    compile_s = time.time() - t0
-    t0 = time.time()
-    float(jax.device_get(run(scene, grid)))
-    rollout_s = time.time() - t0
+    rollout_s, compile_s = measure(run_single)
     steps_per_s = n_steps / rollout_s
+
+    # vmap-batched episodes (aggregate env-steps/s, the RL env convention)
+    B = 8
+    rng = np.random.default_rng(0)
+    starts = rng.uniform([-4, -6.5], [4, -5], (B, 2)).astype(np.float32)
+    goals = rng.uniform([-4, 2], [4, 4], (B, 2)).astype(np.float32)
+    yaws = np.full((B,), 1.57, np.float32)
+
+    def run_batch():
+        out = rollout_batch(scene, grid, starts, yaws, goals, n_steps=n_steps,
+                            width=160, height=128, backend="xla",
+                            tile_capacity=2048, use_capsule=True, **budgets160)
+        return jnp.sum(out["goal_distance"][:, -1])
+
+    batch_s, batch_compile_s = measure(run_batch)
+    batch_steps_per_s = B * n_steps / batch_s
+
+    # 640x480 single-env rate (the reference env's native resolution)
+    budgets640 = tuned(640, 480)
+
+    def run_640():
+        out = rollout(scene, grid, start_xy=jnp.asarray([0.0, -6.0]),
+                      start_yaw=jnp.float32(1.57),
+                      goal_xy=jnp.asarray([3.0, 3.0]), n_steps=20,
+                      width=640, height=480, backend="pallas",
+                      tile_capacity=4096, use_capsule=True, **budgets640)
+        return out["goal_distance"][-1] + out["min_clearance"][-1] * 0
+
+    s640, _ = measure(run_640)
+    steps_640_per_s = 20 / s640
 
     # standalone capsule-query throughput: B capsules x 1M Gaussians
     b = 256
@@ -80,8 +122,12 @@ def main():
 
     print(json.dumps({
         "rollout_100step_s": round(rollout_s, 3),
-        "env_steps_per_s": round(steps_per_s, 2),
+        "env_steps_per_s_160x128": round(steps_per_s, 2),
+        "batch8_env_steps_per_s_160x128": round(batch_steps_per_s, 2),
+        "env_steps_per_s_640x480": round(steps_640_per_s, 2),
         "rollout_compile_s": round(compile_s, 1),
+        "batch_compile_s": round(batch_compile_s, 1),
+        "budgets_160x128": budgets160,
         "capsule_queries_per_s_vs_1m_gaussians": round(queries_per_s, 1),
         "capsule_query_batch": b,
         "gaussian_capsule_pairs_per_s": round(queries_per_s * 1e6, 0),

@@ -58,10 +58,7 @@ def depth_seek_policy(depth: jnp.ndarray, pos_xy: jnp.ndarray, yaw: jnp.ndarray,
     return vx, yaw_rate
 
 
-@partial(jax.jit, static_argnames=("n_steps", "width", "height", "backend",
-                                   "pair_capacity", "tile_capacity",
-                                   "use_capsule"))
-def rollout(
+def _rollout_impl(
     scene: GaussianScene,
     grid: OccupancyGrid,
     start_xy,
@@ -75,8 +72,10 @@ def rollout(
     tile_capacity: int = 1024,
     use_capsule: bool = True,
     duration_s: float = 1.0,
+    k_small: int = 16,
+    m_big: int = 8192,
+    k_big: int = 256,
 ) -> Dict[str, jnp.ndarray]:
-    """Run one fully-on-device episode. Returns final state + step metrics."""
     goal_xy = jnp.asarray(goal_xy, jnp.float32)
     state0 = init_agent(jnp.concatenate([jnp.asarray(start_xy, jnp.float32),
                                          jnp.asarray([0.5], jnp.float32)]),
@@ -86,7 +85,8 @@ def rollout(
         cam = agent_camera_jnp(state.pos[:2], state.yaw, width=width,
                                height=height)
         out = render(scene, cam, backend=backend,
-                     pair_capacity=pair_capacity, tile_capacity=tile_capacity)
+                     pair_capacity=pair_capacity, tile_capacity=tile_capacity,
+                     k_small=k_small, m_big=m_big, k_big=k_big)
         vx, yaw_rate = depth_seek_policy(out["depth"], state.pos[:2],
                                          state.yaw, goal_xy)
         new_state = apply_cmd(state, grid, vx, 0.0, yaw_rate, duration_s)
@@ -116,3 +116,35 @@ def rollout(
         "goal_distance": metrics.goal_distance,
         "mean_depth": metrics.mean_depth,
     }
+
+
+_ROLLOUT_STATICS = ("n_steps", "width", "height", "backend", "pair_capacity",
+                    "tile_capacity", "use_capsule", "k_small", "m_big",
+                    "k_big")
+
+# Run one fully-on-device episode (single launch per episode).
+rollout = partial(jax.jit, static_argnames=_ROLLOUT_STATICS)(_rollout_impl)
+
+
+@partial(jax.jit, static_argnames=_ROLLOUT_STATICS)
+def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
+                  n_steps: int = 100, width: int = 160, height: int = 120,
+                  backend: str = "xla", pair_capacity: int = 1 << 20,
+                  tile_capacity: int = 1024, use_capsule: bool = True,
+                  duration_s: float = 1.0, k_small: int = 16,
+                  m_big: int = 8192, k_big: int = 256):
+    """vmap-batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
+    ONE device program — B environments advance in lockstep, the standard RL
+    env-throughput pattern (aggregate env-steps/s = B * n_steps / wall).
+    Per-step fixed costs (launch, small-op latency) amortize across the batch.
+    """
+    def fn(s, y, g):
+        return _rollout_impl(scene, grid, s, y, g, n_steps=n_steps,
+                             width=width, height=height, backend=backend,
+                             pair_capacity=pair_capacity,
+                             tile_capacity=tile_capacity,
+                             use_capsule=use_capsule, duration_s=duration_s,
+                             k_small=k_small, m_big=m_big, k_big=k_big)
+    return jax.vmap(fn)(jnp.asarray(start_xy, jnp.float32),
+                        jnp.asarray(start_yaw, jnp.float32),
+                        jnp.asarray(goal_xy, jnp.float32))

@@ -49,9 +49,14 @@ from .binning import TILE_H, TILE_W, TileBins
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
 
 CHUNK = 128          # Gaussians advanced per pipeline step
-WIN = 144            # DMA window rows: 8-aligned floor + <=7 head + 128 + pad
+WIN = 144            # window rows: 8-aligned floor + <=7 head + 128 + pad
 NPIX = TILE_W * TILE_H  # 1024 pixels per tile = lane count of the alpha matrix
 NFEAT = 16           # feature lanes per pair (padded to 16)
+PACK = 128 // NFEAT  # pairs packed per 128-lane HBM row (Mosaic DMA slices
+                     # must be 128-aligned in the lane dim, so the (P, 16)
+                     # feature table is stored as (P/8, 128) and windows are
+                     # (WIN/8, 128) blocks reshaped to (WIN, 16) in-kernel)
+WROW = WIN // PACK   # HBM rows per window DMA
 NCH = 8              # out channels: r,g,b,depth,alpha,trans,best_w,best_id
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
 GUARD = 256          # feature-array tail padding so window DMAs stay in range
@@ -141,8 +146,9 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma(slot, k):
+        row = (base + k * CHUNK) // PACK
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(pl.multiple_of(base + k * CHUNK, 8), WIN), :],
+            feats_hbm.at[pl.ds(row, WROW), :],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -161,7 +167,7 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
             dma((k + 1) % 2, k + 1).start()
 
         dma(k % 2, k).wait()
-        co = scratch[k % 2]                           # (WIN, NFEAT)
+        co = scratch[k % 2].reshape(WIN, NFEAT)       # unpack 8 pairs/row
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
         sub = _row_iota(WIN)
         row_ok = (sub >= off) & (sub < off + lane_count)
@@ -231,14 +237,15 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma_in(slot, k):
+        row = (base + k * CHUNK) // PACK
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(pl.multiple_of(base + k * CHUNK, 8), WIN), :],
+            feats_hbm.at[pl.ds(row, WROW), :],
             scratch.at[slot], sems.at[slot])
 
     def dma_out(slot, k):
         return pltpu.make_async_copy(
             dscratch.at[slot],
-            dfeats_hbm.at[pl.ds(pl.multiple_of((ch0 + k) * WIN, 8), WIN), :],
+            dfeats_hbm.at[pl.ds((ch0 + k) * WROW, WROW), :],
             dsems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -273,7 +280,7 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
         def _drain():
             dma_out(k % 2, k - 2).wait()
 
-        co_full = scratch[k % 2]                      # (WIN, NFEAT)
+        co_full = scratch[k % 2].reshape(WIN, NFEAT)  # unpack 8 pairs/row
         lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
 
         # Process the window in HALF-sized sub-blocks: the backward needs ~12
@@ -328,7 +335,8 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
             trans = trans * incl[HALF - 1:HALF, :]
             prefix = incl_cw[HALF - 1:HALF, :]
 
-        dscratch[k % 2] = jnp.concatenate(dsub_parts, axis=0)  # (WIN, NFEAT)
+        dchunk = jnp.concatenate(dsub_parts, axis=0)           # (WIN, NFEAT)
+        dscratch[k % 2] = dchunk.reshape(WROW, 128)            # repack
         dma_out(k % 2, k).start()
         return k + 1, trans, prefix
 
@@ -376,7 +384,7 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, WIN, NFEAT), jnp.float32),
+                pltpu.VMEM((2, WROW, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -399,17 +407,17 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, WIN, NFEAT), jnp.float32),
-                pltpu.VMEM((2, WIN, NFEAT), jnp.float32),
+                pltpu.VMEM((2, WROW, 128), jnp.float32),
+                pltpu.VMEM((2, WROW, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        zeros = jnp.zeros((p_grad, NFEAT), jnp.float32)
+        zeros = jnp.zeros((p_grad // PACK, 128), jnp.float32)
         return pl.pallas_call(
             bwd_kernel,
             grid_spec=grid,
-            out_shape=jax.ShapeDtypeStruct((p_grad, NFEAT), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((p_grad // PACK, 128), jnp.float32),
             input_output_aliases={6: 0},  # zeros arg (incl. prefetch) -> out
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -418,7 +426,8 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
     def _gather_feats(attrs, pair_gauss):
         idx = jnp.concatenate(
             [pair_gauss, jnp.zeros((p_pad - pair_gauss.shape[0],), jnp.int32)])
-        return attrs[idx]                             # (P_pad, 16) row gather
+        rows = attrs[idx]                             # (P_pad, 16) row gather
+        return rows.reshape(p_pad // PACK, 128)       # pack 8 pairs/HBM row
 
     @jax.custom_vjp
     def attr_composite(attrs, pair_gauss, tile_start, tile_count, chunk0,
@@ -434,7 +443,8 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
 
     def _bwd(res, gout):
         feats, pair_gauss, tile_start, tile_count, chunk0, slotpos, fwd_out = res
-        dslots = bwd_call(feats, tile_start, tile_count, chunk0, fwd_out, gout)
+        dslots = bwd_call(feats, tile_start, tile_count, chunk0, fwd_out,
+                          gout).reshape(p_grad, NFEAT)
         # Fused gather-transpose: order pair gradient rows by Gaussian id with
         # ONE sort carrying the slot positions, gather those rows ONCE, then
         # segment-sum via cumsum + per-Gaussian boundary lookups.

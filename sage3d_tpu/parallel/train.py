@@ -57,6 +57,29 @@ def param_sharding(mesh: Mesh, tile_axis: str = "tile") -> NamedSharding:
     return NamedSharding(mesh, P(tile_axis))
 
 
+def all_gather_bucketed(x: jnp.ndarray, axis_name: str,
+                        n_buckets: int) -> jnp.ndarray:
+    """All-gather a sharded array in ``n_buckets`` chunks along axis 0.
+
+    Equivalent to `all_gather(..., tiled=True)` but issued as n_buckets
+    independent collectives, whose TRANSPOSE is n_buckets independent
+    reduce-scatters — the bucketed/chunked gradient reduction SURVEY §7 calls
+    for: fine-grained collectives let the XLA scheduler interleave
+    communication with the projection math (forward) and the backward
+    compositing sweep, instead of one monolithic end-of-step transfer.
+    Requires shard rows % n_buckets == 0 (callers pad via pad_scene_to).
+    """
+    s = x.shape[0]
+    if n_buckets <= 1 or s % n_buckets != 0:
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    c = s // n_buckets
+    parts = [jax.lax.all_gather(
+        jax.lax.dynamic_slice_in_dim(x, i * c, c, axis=0),
+        axis_name, axis=0, tiled=False) for i in range(n_buckets)]
+    full = jnp.concatenate(parts, axis=1)       # (n_dev, s, *rest)
+    return full.reshape((full.shape[0] * s,) + x.shape[1:])
+
+
 def init_train_state(scene: GaussianScene, optimizer, mesh: Mesh,
                      tile_axis: str = "tile") -> TrainState:
     params = scene_params(scene)
@@ -92,6 +115,7 @@ def make_train_step(
     data_axis: str = "data",
     tile_axis: str = "tile",
     backend: str = "xla",
+    grad_buckets: int = 4,
     **render_kw,
 ):
     """Build the jitted sharded train step.
@@ -120,10 +144,12 @@ def make_train_step(
              in_specs=(params_spec, cam_spec, target_spec),
              out_specs=P(data_axis, tile_axis), check_vma=False)
     def local_loss_sum(params, cams, targets):
-        # Gather the parameter shards (ICI all-gather; transpose =
-        # reduce-scatter of gradients back onto the shards).
+        # Gather the parameter shards in grad_buckets chunks (ICI
+        # all-gathers; each transpose = an independent reduce-scatter, so
+        # the gradient reduction is bucketed and schedulable against the
+        # backward sweep rather than one end-of-step collective).
         full = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, tile_axis, axis=0, tiled=True),
+            lambda x: all_gather_bucketed(x, tile_axis, grad_buckets),
             params)
         scene = with_params(template, full)
         band = jax.lax.axis_index(tile_axis)

@@ -131,6 +131,18 @@ def load_ply(path, max_sh_degree: int = 3, semantic_ids=None) -> GaussianScene:
     space already, so they pass straight into the SoA.
     """
     path = Path(path)
+    # Auto-detect PlayCanvas compressed 3DGS ("3dgs_compressed.ply",
+    # InteriorGS distribution format): route to the native bit-unpacking
+    # decoder — no splat-transform step needed (README.md:194-243).
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    if b"packed_position" in head:
+        from ..utils.plyio_native import load_compressed_ply
+        scene = load_compressed_ply(path)
+        if semantic_ids is not None:
+            scene = scene._replace(
+                semantic_ids=jnp.asarray(semantic_ids, jnp.int32))
+        return scene
     with open(path, "rb") as f:
         fmt, n, props = _parse_ply_header(f)
         if fmt not in ("binary_little_endian",):

@@ -29,3 +29,30 @@ def test_jit_rollout_runs_and_moves():
     # goal distance should not increase overall (policy seeks the goal)
     gd = np.asarray(out["goal_distance"])
     assert gd[-1] < gd[0] + 0.5
+
+
+def test_rollout_batch_matches_single():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sage3d_tpu.env.rollout import rollout, rollout_batch
+    from sage3d_tpu.physics.occupancy import grid_from_mask
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(num_gaussians=500, seed=2)
+    obstacle = np.zeros((100, 100), np.uint8)
+    obstacle[:3, :] = obstacle[-3:, :] = 1
+    obstacle[:, :3] = obstacle[:, -3:] = 1
+    grid = grid_from_mask(obstacle, bounds=[-5.0, 5.0, -4.0, 4.0])
+
+    starts = np.array([[0.0, -3.0], [0.5, -2.5]], np.float32)
+    yaws = np.array([1.57, 1.3], np.float32)
+    goals = np.array([[2.0, 2.0], [-2.0, 2.0]], np.float32)
+    kw = dict(n_steps=5, width=64, height=48, backend="xla",
+              pair_capacity=1 << 14, tile_capacity=512, use_capsule=True)
+
+    batched = rollout_batch(scene, grid, starts, yaws, goals, **kw)
+    single0 = rollout(scene, grid, starts[0], yaws[0], goals[0], **kw)
+    np.testing.assert_allclose(np.asarray(batched["positions"][0]),
+                               np.asarray(single0["positions"]), atol=1e-5)
+    assert batched["goal_distance"].shape == (2, 5)

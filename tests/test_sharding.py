@@ -92,3 +92,73 @@ def test_param_shards_land_on_devices(scene):
     state = init_train_state(template, make_optimizer(), mesh)
     sharding = state.params["means"].sharding
     assert sharding.is_fully_replicated is False
+
+
+def test_bucketed_all_gather_matches_unbucketed():
+    """grad_buckets path: forward equality AND gradient equality vs the
+    monolithic all-gather (the transpose is n independent reduce-scatters)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from sage3d_tpu.parallel.mesh import make_mesh
+    from sage3d_tpu.parallel.train import all_gather_bucketed
+
+    mesh = make_mesh((1, 8))
+    x = jnp.arange(64.0 * 3).reshape(64, 3)
+
+    def run(n_buckets):
+        @partial(shard_map, mesh=mesh, in_specs=(P("tile"),),
+                 out_specs=P("tile"), check_vma=False)
+        def f(xs):
+            full = all_gather_bucketed(xs, "tile", n_buckets)
+            loc = jax.lax.axis_index("tile")
+            # arbitrary nonlinear use of the FULL array per shard
+            return jnp.sum(full ** 2) * (loc + 1.0) * jnp.ones((1,))
+
+        def loss(xv):
+            return jnp.sum(f(xv))
+        with mesh:
+            val = loss(x)
+            grad = jax.grad(loss)(x)
+        return np.asarray(val), np.asarray(grad)
+
+    v1, g1 = run(1)
+    v4, g4 = run(4)
+    np.testing.assert_allclose(v4, v1, rtol=1e-6)
+    np.testing.assert_allclose(g4, g1, rtol=1e-6)
+
+
+def test_train_step_bucketed_matches_monolithic():
+    import jax.numpy as jnp
+    import numpy as np
+    from sage3d_tpu.parallel.mesh import make_mesh
+    from sage3d_tpu.parallel.train import (TrainState, make_optimizer,
+                                           make_train_step, pad_scene_to,
+                                           scene_params)
+    from sage3d_tpu.renderer.camera import agent_camera, stack_cameras
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    mesh = make_mesh((2, 4))
+    scene = pad_scene_to(synthetic_room(num_gaussians=256, seed=3), 16)
+    cams = stack_cameras([
+        agent_camera((0.1 * i, -4.0), yaw=1.5, width=64, height=64)
+        for i in range(4)])
+    targets = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(4, 64, 64, 3)), jnp.float32)
+
+    losses = {}
+    for buckets in (1, 4):
+        opt = make_optimizer(1e-3)
+        step, _ = make_train_step(scene, cams, mesh, optimizer=opt,
+                                  backend="xla", pair_capacity=1 << 14,
+                                  tile_capacity=256, grad_buckets=buckets)
+        params = scene_params(scene)
+        state = TrainState(params=params, opt_state=opt.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        with mesh:
+            state, loss = step(state, cams, targets)
+        losses[buckets] = float(loss)
+    assert abs(losses[1] - losses[4]) < 1e-6, losses
