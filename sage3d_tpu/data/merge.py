@@ -36,6 +36,7 @@ def merge_scene(scene_dir, prefix: str = "gvln", overwrite: bool = False,
         return None
 
     merged_samples: List[Dict] = []
+    id_map: Dict[str, str] = {}
     scene_meta: Dict = {"scene_id": scene_id, "scene_name": scene_id}
     for part in parts:
         try:
@@ -47,7 +48,9 @@ def merge_scene(scene_dir, prefix: str = "gvln", overwrite: bool = False,
             scene_meta.setdefault("scene_id", scene.get("scene_id", scene_id))
             for sample in scene.get("samples", []):
                 sample = dict(sample)
+                old_id = str(sample.get("trajectory_id", ""))
                 sample["trajectory_id"] = str(len(merged_samples))
+                id_map[old_id] = sample["trajectory_id"]
                 merged_samples.append(sample)
 
     if not merged_samples:
@@ -55,7 +58,28 @@ def merge_scene(scene_dir, prefix: str = "gvln", overwrite: bool = False,
     payload = {"scenes": [{**scene_meta, "samples": merged_samples}]}
     with open(out, "w") as f:
         json.dump(payload, f, indent=2)
+    organize_visualization_images(scene_dir, id_map)
     return out
+
+
+def organize_visualization_images(scene_dir: Path,
+                                  id_map: Dict[str, str]) -> int:
+    """Rename per-trajectory visualization PNGs to the renumbered merged ids
+    (trajectory_merge.py:129-192): visualization/trajectory_{old}.png ->
+    visualization_merged/trajectory_{new}.png. Returns the count moved."""
+    import shutil
+    src_dir = Path(scene_dir) / "visualization"
+    if not src_dir.is_dir():
+        return 0
+    dst_dir = Path(scene_dir) / "visualization_merged"
+    dst_dir.mkdir(exist_ok=True)
+    moved = 0
+    for old_id, new_id in id_map.items():
+        src = src_dir / f"trajectory_{old_id}.png"
+        if src.exists():
+            shutil.copy2(src, dst_dir / f"trajectory_{new_id}.png")
+            moved += 1
+    return moved
 
 
 def merge_all(traj_root, prefix: str = "gvln", overwrite: bool = False,

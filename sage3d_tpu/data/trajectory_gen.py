@@ -391,6 +391,33 @@ def generate_instructions(client: LLMClient, scene_text: str, start_item: str,
     return out
 
 
+def visualize_trajectory_png(grid: np.ndarray, points: List[Dict],
+                             out_path, scale: float, min_x: float,
+                             min_y: float, title: str = "") -> Optional[Path]:
+    """Per-trajectory planning visualization (vln_trajectory_generator.py:
+    2156-2188): obstacle grid + planned waypoints + start/end markers."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    xs = [(p["position"][0] - min_x) / scale for p in points]
+    ys = [(p["position"][1] - min_y) / scale for p in points]
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(grid, cmap="gray_r", origin="lower", alpha=0.6)
+    ax.plot(xs, ys, "-", color="#1f77b4", linewidth=1.5)
+    ax.plot(xs[0], ys[0], "go", markersize=8, label="start")
+    ax.plot(xs[-1], ys[-1], "r*", markersize=12, label="end")
+    ax.set_title(title)
+    ax.legend(loc="upper right", fontsize=8)
+    fig.savefig(out_path, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 # ---------------------------------------------------------------------------
 # Scene processing with resume
 # ---------------------------------------------------------------------------
@@ -529,9 +556,11 @@ def process_scene(
     max_batches: int = 10,
     seed: int = 0,
     prefix: str = "gvln",
+    visualize: bool = True,
 ) -> Dict:
     """Generate >= min_trajs trajectories for one scene, with incremental
-    part-file saving and resume. Returns a summary dict."""
+    part-file saving, per-trajectory visualization PNGs, and resume.
+    Returns a summary dict."""
     client = client or MockLLMClient()
     output_dir = Path(output_dir)
     scene_out = output_dir / scene_key
@@ -599,11 +628,18 @@ def process_scene(
             if rec is None:
                 continue
             instructions = generate_instructions(client, scene_text, s, e)
+            tid = str(traj_id + len(samples))
             samples.append({
-                "trajectory_id": str(traj_id + len(samples)),
+                "trajectory_id": tid,
                 "instructions": instructions,
                 "points": rec["points"],
             })
+            if visualize:
+                visualize_trajectory_png(
+                    grid, rec["points"],
+                    scene_out / "visualization" / f"trajectory_{tid}.png",
+                    scale, min_x, min_y,
+                    title=f"{scene_key} #{tid}: {s} -> {e}")
             endpoints.append({"start": s, "end": e})
             if len(endpoints) % INCREMENTAL_SAVE_THRESHOLD == 0:
                 with open(scene_out / f"endpoints_{prefix}_{scene_key}.json",

@@ -9,25 +9,27 @@ ops/composite_xla.py, re-scheduled for the TPU memory system:
     saturated (transmittance < 1e-4) — the early termination that gives tiled
     rasterizers their 10-100x win on dense scenes. Skipped chunks are neither
     fetched nor computed.
-  * The kernel reads the SORTED pair-feature array directly (pair-major
-    (P, 16) rows): per-tile spans start at arbitrary offsets, so each chunk
-    DMA fetches a 144-row window from the 8-row-aligned floor of the span
-    (Mosaic sublane-granularity DMA) and masks the <=7 head rows plus the
-    tail. This removes the round-1 "aligned layout" — an 8.5M-row re-gather
-    on the host side that cost more than the kernel itself.
-  * The alpha matrix is (144 window rows on SUBLANES) x (1024 pixels on
-    LANES), so every per-pixel state row is a dense (1, 1024) vector (8
-    vregs, no lane padding). Front-to-back transmittance is an exact fp32
-    prefix product over sublanes via masked pltpu.roll doubling. Tile-LOCAL
-    quadratic coefficients are derived in-kernel from the global screen mean
-    + tile origin, so per-pair features are purely per-Gaussian and the host
-    side build is ONE row-gather of the (N, 16) attribute table.
+  * The kernel reads the SORTED pair-feature array directly, stored as
+    feature-major 128-pair blocks (CB, NFEAT, 128) — Mosaic HBM DMa slices
+    must be 128-aligned in the lane dim, so narrow (P, 16) rows cannot be
+    sliced; dense (NFEAT, 128) blocks can. A tile's span starts at an
+    arbitrary pair offset, so each chunk fetches a TWO-block window and
+    extracts its 128 pairs with one dynamic lane rotate (pltpu.roll with a
+    traced shift) — this replaces the round-1 "aligned layout", an 8.5M-row
+    host-side re-gather that cost more than the kernel itself.
+  * The alpha matrix is (128 pairs on SUBLANES) x (1024 pixels on LANES), so
+    every per-pixel state row is a dense (1, 1024) vector (8 vregs, no lane
+    padding). Front-to-back transmittance is an exact fp32 prefix product
+    over sublanes via masked pltpu.roll doubling. Tile-LOCAL quadratic
+    coefficients are derived in-kernel from the global screen mean + tile
+    origin, so per-pair features are purely per-Gaussian and the host-side
+    build is ONE row-gather of the (N, 16) attribute table.
   * Backward is a SINGLE forward-order sweep per tile: the suffix sums CUDA
     implementations obtain by back-to-front traversal come from the identity
     B_g = sum_{j>g} c_j w_j = (gbar . acc) - prefix_incl(c w), with acc the
-    saved forward output. Per-pair gradient rows stream back to HBM through a
-    second DMA pipeline into a zero-initialized aliased CHUNK-SLOT buffer
-    (one 144-row slot per (tile, chunk), so slots never overlap and
+    saved forward output. Per-pair gradient blocks stream back to HBM through
+    a second DMA pipeline into a zero-initialized aliased CHUNK-SLOT buffer
+    (one (NFEAT, 128) slot per (tile, chunk), so slots never overlap and
     early-terminated tails stay zero).
   * The custom_vjp boundary is `attrs -> tile images`: its backward fuses the
     chunk-slot gradient rows back onto the Gaussians with ONE (gid, slotpos)
@@ -48,18 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TILE_H, TILE_W, TileBins
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
 
-CHUNK = 128          # Gaussians advanced per pipeline step
-WIN = 144            # window rows: 8-aligned floor + <=7 head + 128 + pad
+CHUNK = 128          # Gaussians per chunk = block lane count
 NPIX = TILE_W * TILE_H  # 1024 pixels per tile = lane count of the alpha matrix
-NFEAT = 16           # feature lanes per pair (padded to 16)
-PACK = 128 // NFEAT  # pairs packed per 128-lane HBM row (Mosaic DMA slices
-                     # must be 128-aligned in the lane dim, so the (P, 16)
-                     # feature table is stored as (P/8, 128) and windows are
-                     # (WIN/8, 128) blocks reshaped to (WIN, 16) in-kernel)
-WROW = WIN // PACK   # HBM rows per window DMA
+NFEAT = 16           # feature rows per block (padded to 16)
 NCH = 8              # out channels: r,g,b,depth,alpha,trans,best_w,best_id
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
-GUARD = 256          # feature-array tail padding so window DMAs stay in range
+GUARD_BLOCKS = 2     # feature-array tail blocks so window DMAs stay in range
 
 
 def _pixel_rows():
@@ -74,14 +70,23 @@ def _row_iota(rows: int, base: int = 0):
     return jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + base
 
 
-def _alpha_rows(co, row_ok, ox, oy, rows: int):
-    """(rows, NPIX) alpha of each window row's pair at each tile pixel.
+def _window_pairs(block2, off):
+    """(2, NFEAT, CHUNK) window -> (CHUNK, NFEAT) pair attributes starting at
+    lane offset ``off`` (traced): one dynamic lane rotate + slice + transpose.
+    """
+    cat = jnp.concatenate([block2[0], block2[1]], axis=1)  # (NFEAT, 2*CHUNK)
+    shift = (2 * CHUNK - off) % (2 * CHUNK)
+    rolled = pltpu.roll(cat, shift, 1)
+    return jnp.transpose(rolled[:, :CHUNK], (1, 0))        # (CHUNK, NFEAT)
+
+
+def _alpha_rows(co, n_valid, ox, oy, rows: int):
+    """(rows, NPIX) alpha of each pair at each tile pixel.
 
     ``co`` is the (rows, NFEAT) attribute block — columns are (rows, 1)
     sublane vectors broadcast against the (1, NPIX) pixel rows:
     [a, b, c (conic), Cx, Cy (GLOBAL screen mean), opacity, r, g, b, depth,
-    sem, pad...]. ``row_ok`` masks the unaligned window head and the tail.
-    Returns (alpha, raw) with masked rows forced to 0 (identity for scans).
+    sem, pad...]. Rows >= ``n_valid`` are masked to 0 (identity for scans).
     """
     a = co[:, 0:1]
     b = co[:, 1:2]
@@ -96,7 +101,7 @@ def _alpha_rows(co, row_ok, ox, oy, rows: int):
              - 0.5 * a * (px * px) - 0.5 * c * (py * py) - b * (px * py))
     raw = co[:, 5:6] * jnp.exp(jnp.minimum(power, 0.0))
     raw = jnp.where(power > 0.0, 0.0, raw)
-    raw = jnp.where(row_ok, raw, 0.0)
+    raw = jnp.where(_row_iota(rows) < n_valid, raw, 0.0)
     alpha = jnp.minimum(raw, ALPHA_MAX)
     alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
     return alpha, raw
@@ -139,17 +144,15 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
-    base = (start // 8) * 8
-    off = start - base
+    cb0 = start // CHUNK
+    off = start - cb0 * CHUNK
     n_chunks = pl.cdiv(count, CHUNK)
     ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma(slot, k):
-        row = (base + k * CHUNK) // PACK
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(row, WROW), :],
-            scratch.at[slot], sems.at[slot])
+            feats_hbm.at[pl.ds(cb0 + k, 2)], scratch.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _prefetch():
@@ -167,14 +170,12 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
             dma((k + 1) % 2, k + 1).start()
 
         dma(k % 2, k).wait()
-        co = scratch[k % 2].reshape(WIN, NFEAT)       # unpack 8 pairs/row
-        lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
-        sub = _row_iota(WIN)
-        row_ok = (sub >= off) & (sub < off + lane_count)
-        alpha, _ = _alpha_rows(co, row_ok, ox, oy, WIN)   # (WIN, NPIX)
-        incl = _scan_products(1.0 - alpha, WIN)
-        excl = _shift_one(incl, 1.0, WIN)
-        w = alpha * trans * excl                      # (WIN, NPIX)
+        co = _window_pairs(scratch[k % 2], off)       # (CHUNK, NFEAT)
+        n_valid = jnp.minimum(count - k * CHUNK, CHUNK)
+        alpha, _ = _alpha_rows(co, n_valid, ox, oy, CHUNK)   # (CHUNK, NPIX)
+        incl = _scan_products(1.0 - alpha, CHUNK)
+        excl = _shift_one(incl, 1.0, CHUNK)
+        w = alpha * trans * excl                      # (CHUNK, NPIX)
 
         acc = acc + jnp.concatenate([
             jnp.sum(w * co[:, 6:7], axis=0, keepdims=True),
@@ -185,15 +186,15 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
         ], axis=0)                                    # (5, NPIX)
 
         cmax = jnp.max(w, axis=0, keepdims=True)      # (1, NPIX)
-        sub2 = jax.lax.broadcasted_iota(jnp.int32, (WIN, NPIX), 0)
-        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), sub2, WIN),
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0)
+        first_max = jnp.min(jnp.where((w == cmax) & (cmax > 0.0), sub2, CHUNK),
                             axis=0, keepdims=True)
         sel = jnp.sum(jnp.where(sub2 == first_max, co[:, 10:11], 0.0),
                       axis=0, keepdims=True)
         better = cmax > best_w
         best_w = jnp.where(better, cmax, best_w)
         best_id = jnp.where(better, sel, best_id)
-        trans = trans * incl[WIN - 1:WIN, :]
+        trans = trans * incl[CHUNK - 1:CHUNK, :]
         return k + 1, acc, trans, best_w, best_id
 
     init = (jnp.int32(0),
@@ -219,7 +220,7 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-HALF = WIN // 2      # backward sub-block rows (VMEM working-set control)
+HALF = CHUNK // 2    # backward sub-block rows (VMEM working-set control)
 
 
 def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
@@ -230,23 +231,19 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     ch0 = chunk0_ref[t]
-    base = (start // 8) * 8
-    off = start - base
+    cb0 = start // CHUNK
+    off = start - cb0 * CHUNK
     n_chunks = pl.cdiv(count, CHUNK)
     ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
     def dma_in(slot, k):
-        row = (base + k * CHUNK) // PACK
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(row, WROW), :],
-            scratch.at[slot], sems.at[slot])
+            feats_hbm.at[pl.ds(cb0 + k, 2)], scratch.at[slot], sems.at[slot])
 
     def dma_out(slot, k):
         return pltpu.make_async_copy(
-            dscratch.at[slot],
-            dfeats_hbm.at[pl.ds((ch0 + k) * WROW, WROW), :],
-            dsems.at[slot])
+            dscratch.at[slot], dfeats_hbm.at[ch0 + k], dsems.at[slot])
 
     @pl.when(n_chunks > 0)
     def _prefetch():
@@ -280,19 +277,18 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
         def _drain():
             dma_out(k % 2, k - 2).wait()
 
-        co_full = scratch[k % 2].reshape(WIN, NFEAT)  # unpack 8 pairs/row
-        lane_count = jnp.minimum(count - k * CHUNK, CHUNK)
+        co_full = _window_pairs(scratch[k % 2], off)  # (CHUNK, NFEAT)
+        n_valid = jnp.minimum(count - k * CHUNK, CHUNK)
 
-        # Process the window in HALF-sized sub-blocks: the backward needs ~12
-        # live (rows, NPIX) matrices, and at rows=WIN that overflows VMEM
+        # Process the chunk in HALF-sized sub-blocks: the backward needs ~12
+        # live (rows, NPIX) matrices, and at rows=CHUNK that overflows VMEM
         # into spill traffic. rows=HALF keeps the working set resident;
         # transmittance/prefix carries chain across the halves exactly.
         dsub_parts = []
         for h in range(2):
             co = co_full[h * HALF:(h + 1) * HALF, :]   # (HALF, NFEAT)
-            sub_g = _row_iota(HALF, base=h * HALF)
-            row_ok = (sub_g >= off) & (sub_g < off + lane_count)
-            alpha, raw = _alpha_rows(co, row_ok, ox, oy, HALF)
+            lc = jnp.clip(n_valid - h * HALF, 0, HALF)
+            alpha, raw = _alpha_rows(co, lc, ox, oy, HALF)
             incl = _scan_products(1.0 - alpha, HALF)
             excl = _shift_one(incl, 1.0, HALF)
             t_at = trans * excl
@@ -335,8 +331,8 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
             trans = trans * incl[HALF - 1:HALF, :]
             prefix = incl_cw[HALF - 1:HALF, :]
 
-        dchunk = jnp.concatenate(dsub_parts, axis=0)           # (WIN, NFEAT)
-        dscratch[k % 2] = dchunk.reshape(WROW, 128)            # repack
+        dchunk = jnp.concatenate(dsub_parts, axis=0)      # (CHUNK, NFEAT)
+        dscratch[k % 2] = jnp.transpose(dchunk, (1, 0))   # (NFEAT, CHUNK)
         dma_out(k % 2, k).start()
         return k + 1, trans, prefix
 
@@ -364,11 +360,11 @@ def _use_interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
+def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
                         n_gauss: int, interpret: bool):
     """custom_vjp'd attrs->tiles compositor for a static shape config.
 
-    fwd: one (N,16)->(P,16) row gather + the Pallas forward kernel.
+    fwd: one (N,16)->(P,16) row gather + block packing + the Pallas forward.
     bwd: the Pallas backward kernel into the chunk-slot gradient buffer,
     then ONE (gid, slotpos) sort + ONE row gather + cumsum/boundary
     segment-sum back to d_attrs — the TPU-fast replacement for the
@@ -376,15 +372,16 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
     """
     fwd_kernel = functools.partial(_fwd_kernel, tiles_x)
     bwd_kernel = functools.partial(_bwd_kernel, tiles_x)
+    p_pad = n_blocks * CHUNK
 
-    def fwd_call(feats, tile_start, tile_count):
+    def fwd_call(feats3, tile_start, tile_count):
         grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, WROW, 128), jnp.float32),
+                pltpu.VMEM((2, 2, NFEAT, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -393,9 +390,9 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
             grid_spec=grid,
             out_shape=jax.ShapeDtypeStruct((n_tiles, NCH, NPIX), jnp.float32),
             interpret=interpret,
-        )(tile_start, tile_count, feats)
+        )(tile_start, tile_count, feats3)
 
-    def bwd_call(feats, tile_start, tile_count, chunk0, fwd_out, gout):
+    def bwd_call(feats3, tile_start, tile_count, chunk0, fwd_out, gout):
         grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_tiles,),
@@ -407,52 +404,55 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, p_pad: int, p_grad: int,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, WROW, 128), jnp.float32),
-                pltpu.VMEM((2, WROW, 128), jnp.float32),
+                pltpu.VMEM((2, 2, NFEAT, CHUNK), jnp.float32),
+                pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        zeros = jnp.zeros((p_grad // PACK, 128), jnp.float32)
+        zeros = jnp.zeros((c_cap, NFEAT, CHUNK), jnp.float32)
         return pl.pallas_call(
             bwd_kernel,
             grid_spec=grid,
-            out_shape=jax.ShapeDtypeStruct((p_grad // PACK, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((c_cap, NFEAT, CHUNK), jnp.float32),
             input_output_aliases={6: 0},  # zeros arg (incl. prefetch) -> out
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(tile_start, tile_count, chunk0, feats, fwd_out, gout, zeros)
+        )(tile_start, tile_count, chunk0, feats3, fwd_out, gout, zeros)
 
     def _gather_feats(attrs, pair_gauss):
         idx = jnp.concatenate(
             [pair_gauss, jnp.zeros((p_pad - pair_gauss.shape[0],), jnp.int32)])
         rows = attrs[idx]                             # (P_pad, 16) row gather
-        return rows.reshape(p_pad // PACK, 128)       # pack 8 pairs/HBM row
+        # feature-major 128-pair blocks (Mosaic lane-aligned DMA units)
+        return rows.reshape(n_blocks, CHUNK, NFEAT).transpose(0, 2, 1)
 
     @jax.custom_vjp
     def attr_composite(attrs, pair_gauss, tile_start, tile_count, chunk0,
                        slotpos):
-        feats = _gather_feats(attrs, pair_gauss)
-        return fwd_call(feats, tile_start, tile_count)
+        feats3 = _gather_feats(attrs, pair_gauss)
+        return fwd_call(feats3, tile_start, tile_count)
 
     def _fwd(attrs, pair_gauss, tile_start, tile_count, chunk0, slotpos):
-        feats = _gather_feats(attrs, pair_gauss)
-        out = fwd_call(feats, tile_start, tile_count)
-        return out, (feats, pair_gauss, tile_start, tile_count, chunk0,
+        feats3 = _gather_feats(attrs, pair_gauss)
+        out = fwd_call(feats3, tile_start, tile_count)
+        return out, (feats3, pair_gauss, tile_start, tile_count, chunk0,
                      slotpos, out)
 
     def _bwd(res, gout):
-        feats, pair_gauss, tile_start, tile_count, chunk0, slotpos, fwd_out = res
-        dslots = bwd_call(feats, tile_start, tile_count, chunk0, fwd_out,
-                          gout).reshape(p_grad, NFEAT)
+        feats3, pair_gauss, tile_start, tile_count, chunk0, slotpos, fwd_out = res
+        dslots = bwd_call(feats3, tile_start, tile_count, chunk0, fwd_out,
+                          gout)
+        drows = dslots.transpose(0, 2, 1).reshape(c_cap * CHUNK, NFEAT)
         # Fused gather-transpose: order pair gradient rows by Gaussian id with
         # ONE sort carrying the slot positions, gather those rows ONCE, then
         # segment-sum via cumsum + per-Gaussian boundary lookups.
         p = pair_gauss.shape[0]
+        p_grad = c_cap * CHUNK
         gid_s, pos_s = jax.lax.sort((pair_gauss, slotpos), dimension=0,
                                     is_stable=False, num_keys=1)
         safe = jnp.clip(pos_s, 0, p_grad - 1)
-        ct = jnp.where((pos_s < p_grad)[:, None], dslots[safe], 0.0)
+        ct = jnp.where((pos_s < p_grad)[:, None], drows[safe], 0.0)
         csum = jnp.cumsum(ct, axis=0)
         change = gid_s[1:] != gid_s[:-1]
         is_last = jnp.concatenate([change, jnp.array([True])])
@@ -506,13 +506,13 @@ def composite_tiles_pallas(
     count_c = jnp.minimum(tile_count_t, tile_capacity).astype(jnp.int32)
 
     # Chunk-slot layout for the backward gradient stream: tile t's chunk k
-    # owns rows [(chunk0[t]+k)*WIN, ...+WIN) — disjoint per (tile, chunk), so
-    # the backward kernel streams whole windows with no cross-tile overlap.
+    # owns slot chunk0[t]+k — disjoint per (tile, chunk), so the backward
+    # kernel streams whole blocks with no cross-tile overlap.
     nc = -(-count_c // CHUNK)                          # chunks per tile (T,)
     chunk0 = (jnp.cumsum(nc) - nc).astype(jnp.int32)   # exclusive prefix
     c_cap = pair_capacity // CHUNK + n_tiles           # static upper bound
-    p_grad = c_cap * WIN
-    p_pad = pair_capacity + GUARD
+    n_blocks = pair_capacity // CHUNK + GUARD_BLOCKS   # feature blocks
+    p_grad = c_cap * CHUNK
 
     # Per-sorted-position slot positions, built elementwise: per-tile values
     # are spread over the pair axis with a tiny delta-scatter + cumsum
@@ -529,8 +529,7 @@ def composite_tiles_pallas(
     chunk0_f = fill_pairs(chunk0)
     end_f = fill_pairs(tile_start_t + count_c)
     offset = pos_p - start_f
-    k_f = offset // CHUNK
-    slotpos = (chunk0_f + k_f) * WIN + (start_f % 8) + (offset % CHUNK)
+    slotpos = (chunk0_f + offset // CHUNK) * CHUNK + (offset % CHUNK)
     slotpos = jnp.where(pos_p < end_f, slotpos, p_grad)
 
     # Per-Gaussian attribute table, assembled ONCE (N rows); tile-local
@@ -549,7 +548,7 @@ def composite_tiles_pallas(
         jnp.zeros((n,), jnp.float32),
     ], axis=1)                                                # (N, 16)
 
-    flat = _get_attr_composite(n_tiles, tiles_x, p_pad, p_grad, n,
+    flat = _get_attr_composite(n_tiles, tiles_x, n_blocks, c_cap, n,
                                _use_interpret())
     out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0, slotpos)
 

@@ -136,3 +136,23 @@ def test_reconciliation_regenerates_deleted_halves(traj_world):
                                                client=MockLLMClient())
     assert rep3["regenerated_trajectories"] == 0
     assert rep3["appended_endpoints"] == 0
+
+
+def test_per_trajectory_visualizations_and_merge_rename(traj_world):
+    tmp, sem_data = traj_world
+    out = tmp / "trajviz"
+    tg.process_scene("0001", sem_data, out, client=MockLLMClient(),
+                     min_trajs=2, max_batches=2, seed=5, visualize=True)
+    scene_out = out / "0001"
+    pngs = list((scene_out / "visualization").glob("trajectory_*.png"))
+    assert pngs, "per-trajectory PNGs missing"
+
+    # simulate the 2d->3d stage output, then merge renames visualizations
+    import shutil
+    for p in scene_out.glob("trajectories_*part*.json"):
+        shutil.copy2(p, p.with_name(p.stem + "_trans.json"))
+    from sage3d_tpu.data.merge import merge_scene
+    merged = merge_scene(scene_out, prefix="gvln")
+    assert merged is not None
+    renamed = list((scene_out / "visualization_merged").glob("trajectory_*.png"))
+    assert len(renamed) == len(pngs)
