@@ -65,11 +65,9 @@ def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
 
 
 def autotune(scene, camera):
-    """Overflow-free budgets from one elementwise device probe."""
-    from sage3d_tpu.ops.binning import suggest_budgets
-    from sage3d_tpu.ops.projection import project_gaussians
-    proj = project_gaussians(scene, camera)
-    return suggest_budgets(proj, camera.width, camera.height)
+    """Overflow-free budgets from one fully-jitted device probe."""
+    from sage3d_tpu.renderer.render import autotune_budgets
+    return autotune_budgets(scene, camera)
 
 
 def bench_backend(scene, camera, backend: str, budgets, iters: int = 6):
@@ -117,7 +115,9 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
 
     outs = {}
     for backend in ("pallas", "xla"):
-        o = render(scene, camera, backend=backend, **kw)
+        # everything under jit: eager dispatch is minutes-slow on the tunnel
+        o = jax.jit(lambda s, b=backend: render(s, camera, backend=b,
+                                                **kw))(scene)
         outs[backend] = {k: np.asarray(jax.device_get(o[k]))
                          for k in ("rgb", "depth_acc", "alpha", "trans")}
         outs[backend]["overflow"] = int(jax.device_get(o["overflow"]))

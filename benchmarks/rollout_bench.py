@@ -27,9 +27,7 @@ def main():
     import numpy as np
     from bench import make_bench_scene_device
     from sage3d_tpu.env.rollout import rollout, rollout_batch
-    from sage3d_tpu.ops.binning import suggest_budgets
     from sage3d_tpu.ops.collision import agent_capsule, capsule_query
-    from sage3d_tpu.ops.projection import project_gaussians
     from sage3d_tpu.physics.occupancy import grid_from_mask
     from sage3d_tpu.renderer.camera import agent_camera
 
@@ -45,8 +43,9 @@ def main():
     n_steps = 100
 
     def tuned(width, height):
+        from sage3d_tpu.renderer.render import autotune_budgets
         cam = agent_camera((0.0, -6.0), yaw=1.57, width=width, height=height)
-        b = suggest_budgets(project_gaussians(scene, cam), width, height)
+        b = autotune_budgets(scene, cam)
         return dict(pair_capacity=b["pair_capacity"], k_small=b["k_small"],
                     m_big=b["m_big"], k_big=b["k_big"])
 

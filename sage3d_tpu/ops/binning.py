@@ -49,7 +49,8 @@ MAX_N = 1 << RANK_BITS
 K1_DEFAULT = 16           # candidate entries per ordinary Gaussian
 M_BIG_DEFAULT = 8192      # large-spanning Gaussians given extended budgets
 K2_DEFAULT = 256          # entries per large Gaussian
-INVALID_KEY = jnp.int32(2**31 - 1)
+INVALID_KEY = 2**31 - 1   # python int: a jnp scalar here would become a
+                          # device-array constant fetched at every lowering
 
 
 class TileBins(NamedTuple):
@@ -251,10 +252,17 @@ def suggest_budgets(proj: ProjectedGaussians, width: int, height: int,
 
     Returns {"k_small", "m_big", "k_big", "pair_capacity", "n_pairs_upper"}.
     Re-run per (scene, resolution) bucket; each choice is one cached compile.
+    NOTE: takes an already-projected scene; prefer renderer.render.
+    autotune_budgets(scene, camera), which runs projection + stats as ONE
+    jitted program (required on the tunneled TPU, where eager is slow).
     """
     stats = jax.device_get(pair_count_stats(proj, width, height,
                                             tile_w=tile_w, tile_h=tile_h))
-    n = proj.depths.shape[0]
+    return _pick_budgets(stats, proj.depths.shape[0])
+
+
+def _pick_budgets(stats: dict, n: int) -> dict:
+    """Host-side budget choice from fetched `pair_count_stats` scalars."""
     max_count = int(stats["max_count"])
     sum_count = int(stats["sum_count"])
     k_big = max(_pow2_at_least(max_count), 8)

@@ -30,6 +30,23 @@ from .camera import Camera
 from .scene import GaussianScene
 
 
+def autotune_budgets(scene: GaussianScene, camera: Camera,
+                     sh_degree: Optional[int] = None) -> Dict[str, int]:
+    """Overflow-free binning budgets for (scene, camera) from ONE fully-jitted
+    device probe (projection + elementwise pair stats in a single program —
+    eager dispatch is minutes-slow on the tunneled TPU, so nothing here may
+    run op-by-op). Host fetches 4 scalars and picks static budgets."""
+    from ..ops.binning import _pick_budgets, pair_count_stats
+
+    @partial(jax.jit, static_argnames=())
+    def probe(s):
+        proj = project_gaussians(s, camera, sh_degree=sh_degree)
+        return pair_count_stats(proj, camera.width, camera.height)
+
+    stats = jax.device_get(probe(scene))
+    return _pick_budgets(stats, scene.num_gaussians)
+
+
 def default_pair_capacity(n_gaussians: int, width: int, height: int) -> int:
     """Static pair-buffer size heuristic: ~16 tiles per Gaussian, pow2-rounded.
 
