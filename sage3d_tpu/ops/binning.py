@@ -273,7 +273,11 @@ def _pick_budgets(stats: dict, n: int) -> dict:
         if best is None or emission < best[0]:
             best = (emission, k1, m)
     _, k_small, m_big = best
-    pair_capacity = _pow2_at_least(sum_count + 1024)
+    # 128-multiple (the kernel's chunk size), NOT pow2: every downstream stage
+    # (feature row-gather, VJP sort + gradient-row gather + cumsum) is
+    # proportional to the static capacity, so pow2-rounding a 5.03M workload
+    # to 8.4M would tax the whole pipeline ~40% for nothing.
+    pair_capacity = -(-(sum_count + 1024) // 128) * 128
     return {
         "k_small": int(k_small),
         "m_big": int(m_big),
