@@ -64,33 +64,12 @@ def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
 
 
 def autotune(scene, camera):
-    """Overflow-free budgets from one fully-jitted device probe.
-
-    Two probes: (1) elementwise pair stats -> emission budgets (k_small/m_big/
-    k_big/pair_capacity); (2) the actual binning with those budgets ->
-    max per-tile pair count, pow2-rounded into ``tile_capacity``. With both,
+    """Overflow-free budgets + tile capacity (renderer.render.autotune_all):
     the measured run drops ZERO pairs anywhere in the pipeline (VERDICT r1 #1:
-    throughput on a truncated workload must not be the headline).
-    """
-    from functools import partial
+    throughput on a truncated workload must not be the headline)."""
+    from sage3d_tpu.renderer.render import autotune_all
 
-    from sage3d_tpu.ops.binning import _pow2_at_least, bin_gaussians
-    from sage3d_tpu.ops.projection import project_gaussians
-    from sage3d_tpu.renderer.render import autotune_budgets
-
-    budgets = autotune_budgets(scene, camera)
-
-    @partial(jax.jit, static_argnames=())
-    def max_tile_count(s):
-        proj = project_gaussians(s, camera)
-        bins = bin_gaussians(proj, camera.width, camera.height,
-                             k_small=budgets["k_small"],
-                             m_big=budgets["m_big"], k_big=budgets["k_big"])
-        return jnp.max(bins.tile_count)
-
-    budgets["tile_capacity"] = _pow2_at_least(
-        int(jax.device_get(max_tile_count(scene))))
-    return budgets
+    return autotune_all(scene, camera)
 
 
 def bench_backend(scene, camera, backend: str, budgets, iters: int = 6):

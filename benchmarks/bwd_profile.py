@@ -1,0 +1,195 @@
+"""Micro-profile of the Pallas backward path at the 1080p/1M headline config.
+
+Separates the backward cost centers behind the custom VJP (gid-channel
+design): (a) the bwd Pallas kernel, (b) the 11-operand segment-sort,
+(c) cumsum, (d) boundary lookups.
+
+Run:  timeout 7200 python benchmarks/bwd_profile.py > /tmp/bwd_prof.log 2>&1
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from bench import WIDTH, HEIGHT, autotune, make_bench_scene_device
+from sage3d_tpu.ops import composite_pallas as cp
+from sage3d_tpu.ops.binning import bin_gaussians
+from sage3d_tpu.ops.projection import project_gaussians
+from sage3d_tpu.renderer.camera import make_camera
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+scene = make_bench_scene_device()
+camera = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
+                     width=WIDTH, height=HEIGHT, focal_mm=14.0)
+budgets = autotune(scene, camera)
+log(f"budgets: {budgets}")
+
+CHUNK = cp.CHUNK
+NFEAT = cp.NFEAT
+NGRAD = cp.NGRAD
+PAIR_CAP = budgets["pair_capacity"]
+
+
+@jax.jit
+def prepare(s):
+    proj = project_gaussians(s, camera)
+    bins = bin_gaussians(proj, WIDTH, HEIGHT, k_small=budgets["k_small"],
+                         m_big=budgets["m_big"], k_big=budgets["k_big"])
+    n = proj.depths.shape[0]
+    attrs = jnp.stack([
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        proj.means2d[:, 0], proj.means2d[:, 1], proj.opacities,
+        proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+        proj.depths, jnp.zeros((n,), jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32)], axis=1)
+    return attrs, bins
+
+
+attrs, bins = jax.block_until_ready(prepare(scene))
+tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
+n_tiles = tiles_x * tiles_y
+pair_gauss = bins.pair_gauss[:PAIR_CAP]
+tile_start = jnp.minimum(bins.tile_start, PAIR_CAP)
+count_c = jnp.minimum(
+    jnp.clip(jnp.minimum(bins.tile_start + bins.tile_count, PAIR_CAP)
+             - tile_start, 0, None), budgets["tile_capacity"]).astype(jnp.int32)
+nc = -(-count_c // CHUNK)
+chunk0 = (jnp.cumsum(nc) - nc).astype(jnp.int32)
+c_cap = PAIR_CAP // CHUNK + n_tiles
+n_blocks = PAIR_CAP // CHUNK + cp.GUARD_BLOCKS
+p_grad = c_cap * CHUNK
+n_gauss = attrs.shape[0]
+
+flat = cp._get_attr_composite(n_tiles, tiles_x, n_blocks, c_cap,
+                              n_gauss, False)
+
+
+def timed(name, fn, args, iters=6):
+    @jax.jit
+    def loop(c, *a):
+        def body(i, c):
+            return c + fn(c, *a)
+        return jax.lax.fori_loop(0, iters, body, c)
+
+    t0 = time.time()
+    float(jax.device_get(loop(jnp.float32(0.0), *args)))
+    first = time.time() - t0
+    t0 = time.time()
+    float(jax.device_get(loop(jnp.float32(0.0), *args)))
+    dt = (time.time() - t0) / iters
+    log(f"{name}: {dt * 1e3:.1f} ms/iter (first {first:.1f}s)")
+    return dt
+
+
+def flat_fwd(c, attrs, pair_gauss, tile_start, count_c, chunk0):
+    out = flat(attrs + c * 0, pair_gauss, tile_start, count_c, chunk0)
+    return jnp.sum(out[:, 0:3, :]) * 1e-9
+
+
+t_f = timed("flat fwd", flat_fwd,
+            (attrs, pair_gauss, tile_start, count_c, chunk0))
+
+
+def flat_fb(c, attrs, pair_gauss, tile_start, count_c, chunk0):
+    def loss(a):
+        out = flat(a, pair_gauss, tile_start, count_c, chunk0)
+        return jnp.sum(out[:, 0:5, :] ** 2) * 1e-9
+    return jax.grad(loss)(attrs + c * 0)[0, 0]
+
+
+t_fb = timed("flat fwd+bwd", flat_fb,
+             (attrs, pair_gauss, tile_start, count_c, chunk0))
+
+
+# fusion stages on synthetic slot gradients
+dcols = jax.block_until_ready(
+    jax.random.normal(jax.random.PRNGKey(0), (NFEAT, p_grad), jnp.float32))
+ids0 = jax.block_until_ready(
+    jax.random.randint(jax.random.PRNGKey(1), (p_grad,), 0, n_gauss,
+                       jnp.int32))
+
+
+def fusion(c, dcols, ids):
+    dcols = dcols + c * 0
+    sorted_ = jax.lax.sort(
+        (ids,) + tuple(dcols[j] for j in range(NGRAD)),
+        dimension=0, is_stable=False, num_keys=1)
+    gid_s = sorted_[0]
+    ct = jnp.stack(sorted_[1:], axis=1)
+    csum = jnp.cumsum(ct, axis=0)
+    change = gid_s[1:] != gid_s[:-1]
+    is_last = jnp.concatenate([change, jnp.array([True])])
+    ar = jnp.arange(p_grad, dtype=jnp.int32)
+    hi = jnp.zeros((n_gauss,), jnp.int32).at[
+        jnp.where(is_last, gid_s, n_gauss)].set(
+        ar + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+    hi = jax.lax.cummax(hi)
+    zero_row = jnp.zeros((1, NGRAD), jnp.float32)
+    csum_ext = jnp.concatenate([zero_row, csum], axis=0)
+    ghi = csum_ext[hi]
+    dg = ghi - jnp.concatenate([zero_row, ghi[:-1]], axis=0)
+    return jnp.sum(dg) * 1e-9
+
+
+t_fu = timed("fusion total (11-op sort + cumsum + bounds)", fusion,
+             (dcols, ids0))
+
+
+# binning emission stats: exceed counts for 3-tier budget planning
+from sage3d_tpu.ops.binning import SUGGEST_THRESHOLDS, pair_count_stats
+
+
+@jax.jit
+def _stats(s):
+    proj = project_gaussians(s, camera)
+    return pair_count_stats(proj, WIDTH, HEIGHT)
+
+
+st = jax.device_get(_stats(scene))
+log(f"binning stats: n_visible={int(st['n_visible'])} "
+    f"sum_count={int(st['sum_count'])} max_count={int(st['max_count'])} "
+    f"exceed{SUGGEST_THRESHOLDS}={list(map(int, st['exceed']))}")
+
+
+def sort11(c, dcols, ids):
+    dcols = dcols + c * 0
+    sorted_ = jax.lax.sort(
+        (ids,) + tuple(dcols[j] for j in range(NGRAD)),
+        dimension=0, is_stable=False, num_keys=1)
+    acc = jnp.sum(sorted_[0][:1024].astype(jnp.float32)) * 1e-9
+    for o in sorted_[1:]:
+        acc = acc + o[0] * 1e-9
+    return acc
+
+
+t_s = timed("fusion: 11-op sort only", sort11, (dcols, ids0))
+
+
+def cumsum10(c, dcols):
+    ct = jnp.stack([dcols[j] + c * 0 for j in range(NGRAD)], axis=1)
+    csum = jnp.cumsum(ct, axis=0)
+    return jnp.sum(csum[-1]) * 1e-9
+
+
+t_c = timed("fusion: stack+cumsum only", cumsum10, (dcols,))
+
+log(f"bwd kernel+misc (fb - fwd - fusion): {1e3 * (t_fb - t_f - t_fu):.1f} ms")
+log(f"fusion parts: sort {1e3 * t_s:.1f}  cumsum {1e3 * t_c:.1f}  "
+    f"bounds {1e3 * (t_fu - t_s - t_c):.1f}  total {1e3 * t_fu:.1f}")

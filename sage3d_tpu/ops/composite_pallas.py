@@ -32,9 +32,12 @@ ops/composite_xla.py, re-scheduled for the TPU memory system:
     (one (NFEAT, 128) slot per (tile, chunk), so slots never overlap and
     early-terminated tails stay zero).
   * The custom_vjp boundary is `attrs -> tile images`: its backward fuses the
-    chunk-slot gradient rows back onto the Gaussians with ONE (gid, slotpos)
-    sort + ONE row-gather + a cumsum/boundary segment-sum — never a
-    duplicated scatter-add (XLA serializes those on TPU).
+    chunk-slot gradient rows back onto the Gaussians by segment-summing the
+    slot buffer DIRECTLY — every gradient row carries its own Gaussian id
+    (GID_COL, written by the kernel), so one 11-operand sort groups rows by
+    Gaussian and a cumsum + boundary lookup reduces them. No pair->slot
+    index maps, no row gather (65 ms at 5M pairs), and never a duplicated
+    scatter-add (XLA serializes those on TPU).
 """
 
 from __future__ import annotations
@@ -54,6 +57,8 @@ CHUNK = 128          # Gaussians per chunk = block lane count
 NPIX = TILE_W * TILE_H  # 1024 pixels per tile = lane count of the alpha matrix
 NFEAT = 16           # feature rows per block (padded to 16)
 NCH = 8              # out channels: r,g,b,depth,alpha,trans,best_w,best_id
+NGRAD = 10           # real gradient channels: d_a..d_cy, dop, df_r..df_d
+GID_COL = 11         # attr column carrying the Gaussian id (f32-exact < 2^24)
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
 GUARD_BLOCKS = 2     # feature-array tail blocks so window DMAs stay in range
 
@@ -324,9 +329,16 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
             df_b = jnp.sum(g2 * w, axis=1, keepdims=True)
             df_d = jnp.sum(g3 * w, axis=1, keepdims=True)
             zeros = jnp.zeros((HALF, 1), jnp.float32)
+            # GID_COL carries the pair's Gaussian id alongside its gradient
+            # row, so the VJP can segment-sum the slot buffer DIRECTLY (one
+            # 11-operand sort) with no pair->slot index maps and no 64-byte
+            # row gather. Rows the kernel never touches stay all-zero (id 0,
+            # payload 0) and sum harmlessly into Gaussian 0; masked rows
+            # beyond n_valid have garbage-but-in-range ids with zero payload.
             dsub_parts.append(jnp.concatenate(
                 [d_a, d_b, d_c, d_cx, d_cy, dop, df_r, df_g, df_b, df_d,
-                 zeros, zeros, zeros, zeros, zeros, zeros], axis=1))
+                 zeros, co[:, GID_COL:GID_COL + 1], zeros, zeros, zeros,
+                 zeros], axis=1))
 
             trans = trans * incl[HALF - 1:HALF, :]
             prefix = incl_cw[HALF - 1:HALF, :]
@@ -428,46 +440,54 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         return rows.reshape(n_blocks, CHUNK, NFEAT).transpose(0, 2, 1)
 
     @jax.custom_vjp
-    def attr_composite(attrs, pair_gauss, tile_start, tile_count, chunk0,
-                       slotpos):
+    def attr_composite(attrs, pair_gauss, tile_start, tile_count, chunk0):
         feats3 = _gather_feats(attrs, pair_gauss)
         return fwd_call(feats3, tile_start, tile_count)
 
-    def _fwd(attrs, pair_gauss, tile_start, tile_count, chunk0, slotpos):
+    def _fwd(attrs, pair_gauss, tile_start, tile_count, chunk0):
         feats3 = _gather_feats(attrs, pair_gauss)
         out = fwd_call(feats3, tile_start, tile_count)
-        return out, (feats3, pair_gauss, tile_start, tile_count, chunk0,
-                     slotpos, out)
+        return out, (feats3, pair_gauss, tile_start, tile_count, chunk0, out)
 
     def _bwd(res, gout):
-        feats3, pair_gauss, tile_start, tile_count, chunk0, slotpos, fwd_out = res
+        feats3, pair_gauss, tile_start, tile_count, chunk0, fwd_out = res
         dslots = bwd_call(feats3, tile_start, tile_count, chunk0, fwd_out,
                           gout)
-        drows = dslots.transpose(0, 2, 1).reshape(c_cap * CHUNK, NFEAT)
-        # Fused gather-transpose: order pair gradient rows by Gaussian id with
-        # ONE sort carrying the slot positions, gather those rows ONCE, then
-        # segment-sum via cumsum + per-Gaussian boundary lookups.
-        p = pair_gauss.shape[0]
+        # Segment-sum the slot buffer directly: every gradient row carries
+        # its own Gaussian id (GID_COL, written by the kernel), so ONE sort
+        # whose payload is the NGRAD real gradient channels groups rows by
+        # Gaussian — no pair->slot position map, no 64-byte row gather
+        # (measured: the row gather was 65 ms at 5M pairs, the payload sort
+        # is ~45 ms; ids+payload live in lane-major (NFEAT, P) form so the
+        # column extracts are free slices).
         p_grad = c_cap * CHUNK
-        gid_s, pos_s = jax.lax.sort((pair_gauss, slotpos), dimension=0,
-                                    is_stable=False, num_keys=1)
-        safe = jnp.clip(pos_s, 0, p_grad - 1)
-        ct = jnp.where((pos_s < p_grad)[:, None], drows[safe], 0.0)
+        dcols = dslots.transpose(1, 0, 2).reshape(NFEAT, p_grad)
+        ids = dcols[GID_COL].astype(jnp.int32)
+        sorted_ = jax.lax.sort(
+            (ids,) + tuple(dcols[j] for j in range(NGRAD)),
+            dimension=0, is_stable=False, num_keys=1)
+        gid_s = sorted_[0]
+        ct = jnp.stack(sorted_[1:], axis=1)           # (p_grad, NGRAD)
         csum = jnp.cumsum(ct, axis=0)
         change = gid_s[1:] != gid_s[:-1]
         is_last = jnp.concatenate([change, jnp.array([True])])
-        is_first = jnp.concatenate([jnp.array([True]), change])
-        ar = jnp.arange(p, dtype=jnp.int32)
+        ar = jnp.arange(p_grad, dtype=jnp.int32)
+        # ONE P-sized scatter (each costs ~7 ns/elem = ~35 ms at 5M): segment
+        # END positions per present Gaussian; absent ids are then forward-
+        # filled with cummax (N-sized, cheap), which makes every segment's
+        # START equal to the PREVIOUS Gaussian's end — so the "lo" scatter and
+        # its N-row gather disappear into a shift of the "hi" gather.
         hi = jnp.zeros((n_gauss,), jnp.int32).at[
             jnp.where(is_last, gid_s, n_gauss)].set(
             ar + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
-        lo = jnp.zeros((n_gauss,), jnp.int32).at[
-            jnp.where(is_first, gid_s, n_gauss)].set(
-            ar, mode="drop", unique_indices=True, indices_are_sorted=True)
-        zero_row = jnp.zeros((1, NFEAT), jnp.float32)
+        hi = jax.lax.cummax(hi)   # fill absent ids -> their segment is empty
+        zero_row = jnp.zeros((1, NGRAD), jnp.float32)
         csum_ext = jnp.concatenate([zero_row, csum], axis=0)
-        d_attrs = csum_ext[hi] - csum_ext[lo]         # (N, 16)
-        return d_attrs, None, None, None, None, None
+        ghi = csum_ext[hi]                            # (N, NGRAD)
+        dg = ghi - jnp.concatenate([zero_row, ghi[:-1]], axis=0)
+        d_attrs = jnp.concatenate(
+            [dg, jnp.zeros((n_gauss, NFEAT - NGRAD), jnp.float32)], axis=1)
+        return d_attrs, None, None, None, None
 
     attr_composite.defvjp(_fwd, _bwd)
     return attr_composite
@@ -512,29 +532,13 @@ def composite_tiles_pallas(
     chunk0 = (jnp.cumsum(nc) - nc).astype(jnp.int32)   # exclusive prefix
     c_cap = pair_capacity // CHUNK + n_tiles           # static upper bound
     n_blocks = pair_capacity // CHUNK + GUARD_BLOCKS   # feature blocks
-    p_grad = c_cap * CHUNK
-
-    # Per-sorted-position slot positions, built elementwise: per-tile values
-    # are spread over the pair axis with a tiny delta-scatter + cumsum
-    # (positions = tile starts, values may decrease; the running sum still
-    # reconstructs each tile's value on its own span) — never a big gather.
-    def fill_pairs(values):  # (T,) int32 -> (P,) value of my tile at each pos
-        deltas = jnp.diff(values, prepend=jnp.zeros((1,), values.dtype))
-        sc = jnp.zeros((pair_capacity,), jnp.int32).at[tile_start_t].add(
-            deltas.astype(jnp.int32), mode="drop")
-        return jnp.cumsum(sc)
-
-    pos_p = jnp.arange(pair_capacity, dtype=jnp.int32)
-    start_f = fill_pairs(tile_start_t)
-    chunk0_f = fill_pairs(chunk0)
-    end_f = fill_pairs(tile_start_t + count_c)
-    offset = pos_p - start_f
-    slotpos = (chunk0_f + offset // CHUNK) * CHUNK + (offset % CHUNK)
-    slotpos = jnp.where(pos_p < end_f, slotpos, p_grad)
 
     # Per-Gaussian attribute table, assembled ONCE (N rows); tile-local
     # quadratic coefficients are derived INSIDE the kernel from the global
-    # mean + tile origin, so attributes are purely per-Gaussian.
+    # mean + tile origin, so attributes are purely per-Gaussian. GID_COL
+    # carries each Gaussian's own index so the backward kernel can tag its
+    # gradient rows (see _bwd: the id rides along and the VJP segment-sums
+    # the slot buffer with one sort, no index maps).
     n = proj.depths.shape[0]
     attrs = jnp.stack([
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
@@ -543,14 +547,14 @@ def composite_tiles_pallas(
         proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
         proj.depths,
         semantic_ids.astype(jnp.float32),
+        jnp.arange(n, dtype=jnp.float32),              # GID_COL
         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
     ], axis=1)                                                # (N, 16)
 
     flat = _get_attr_composite(n_tiles, tiles_x, n_blocks, c_cap, n,
                                _use_interpret())
-    out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0, slotpos)
+    out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0)
 
     imgs = out.transpose(0, 2, 1).reshape(tiles_y, tiles_x, TILE_H, TILE_W,
                                            NCH)

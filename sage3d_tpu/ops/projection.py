@@ -39,15 +39,24 @@ class ProjectedGaussians(NamedTuple):
     extents: jnp.ndarray    # (N, 2) tight AABB half-extents in pixels (x, y)
 
 
-def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4) (w, x, y, z) quaternions -> (..., 3, 3) rotation matrices."""
+def _rotmat_channels(quats: jnp.ndarray):
+    """Normalized-quaternion rotation matrix as 9 separate (...,) channels.
+
+    Channel-of-arrays form: on TPU an (N, 3, 3) array pads its 3-wide minor
+    dims to full vector lanes, so batched tiny matmuls move ~40x the useful
+    bytes. Scalar channels fuse into one elementwise pass instead.
+    """
     q = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    return jnp.stack([
-        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
-        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
-        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
-    ], axis=-2)
+    return ((1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+            (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+            (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)))
+
+
+def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) (w, x, y, z) quaternions -> (..., 3, 3) rotation matrices."""
+    R = _rotmat_channels(quats)
+    return jnp.stack([jnp.stack(row, -1) for row in R], axis=-2)
 
 
 def covariance_3d(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +82,13 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
         camera.width, camera.height)
 
     R_wc = camera.world_to_cam                     # (3, 3) world -> camera
-    t = (scene.means - camera.position) @ R_wc.T   # (N, 3) camera-space centers
+    # camera-space centers, channel-wise (see the channel-math note below)
+    d0 = scene.means[:, 0] - camera.position[0]
+    d1 = scene.means[:, 1] - camera.position[1]
+    d2 = scene.means[:, 2] - camera.position[2]
+    t = jnp.stack(
+        [R_wc[i, 0] * d0 + R_wc[i, 1] * d1 + R_wc[i, 2] * d2
+         for i in range(3)], axis=-1)              # (N, 3)
     tz = t[:, 2]
     depths = tz
 
@@ -83,8 +98,12 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
     v = camera.fy * t[:, 1] * inv_z + camera.cy
     means2d = jnp.stack([u, v], axis=-1)
 
-    # EWA: Sigma2D = J W Sigma W^T J^T with W = R_wc, J the perspective Jacobian.
-    cov3d = covariance_3d(scene.log_scales, scene.quats)      # (N, 3, 3)
+    # EWA: Sigma2D = J W Sigma W^T J^T with W = R_wc, J the perspective
+    # Jacobian. Everything below is CHANNEL math over (N,) arrays: Sigma2D =
+    # (JW M)(JW M)^T with M = R diag(S), so only the six entries of
+    # U = JW @ M are ever materialized. The naive (N,3,3)/(N,2,3) batched
+    # matmul forms pad their tiny minor dims to full TPU vector lanes and
+    # made this stage ~25 ms at 1M Gaussians; channels fuse to ~one pass.
     # Clamp the Jacobian evaluation point to the frustum cone (classic 3DGS):
     # limits the linearization error for Gaussians far outside the view.
     lim_x = 1.3 * (0.5 * clamp_w / camera.fx)
@@ -93,17 +112,23 @@ def project_gaussians(scene: GaussianScene, camera: Camera,
     tyz = jnp.clip(t[:, 1] * inv_z, -lim_y, lim_y) * tz_safe
     fx_z = camera.fx * inv_z
     fy_z = camera.fy * inv_z
-    J = jnp.stack([
-        jnp.stack([fx_z, jnp.zeros_like(fx_z), -camera.fx * txz * inv_z * inv_z], -1),
-        jnp.stack([jnp.zeros_like(fy_z), fy_z, -camera.fy * tyz * inv_z * inv_z], -1),
-    ], axis=-2)                                                # (N, 2, 3)
-    JW = J @ R_wc                                              # (N, 2, 3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)              # (N, 2, 2)
-    cov2d = cov2d + COV2D_DILATION * jnp.eye(2, dtype=cov2d.dtype)
-
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    jx2 = -camera.fx * txz * inv_z * inv_z   # J[0,2]
+    jy2 = -camera.fy * tyz * inv_z * inv_z   # J[1,2]
+    # JW rows: JW[0,j] = fx_z*W[0,j] + jx2*W[2,j]; JW[1,j] = fy_z*W[1,j] +
+    # jy2*W[2,j] (W = R_wc is a (3,3) host constant -> scalar coefficients).
+    W = R_wc
+    jw0 = [fx_z * W[0, j] + jx2 * W[2, j] for j in range(3)]
+    jw1 = [fy_z * W[1, j] + jy2 * W[2, j] for j in range(3)]
+    Rq = _rotmat_channels(scene.quats)       # 9 (N,) channels
+    S = jnp.exp(scene.log_scales)            # (N, 3)
+    # U[i,k] = S_k * sum_j JW[i,j] * R[j,k]
+    u0 = [S[:, k] * (jw0[0] * Rq[0][k] + jw0[1] * Rq[1][k] + jw0[2] * Rq[2][k])
+          for k in range(3)]
+    u1 = [S[:, k] * (jw1[0] * Rq[0][k] + jw1[1] * Rq[1][k] + jw1[2] * Rq[2][k])
+          for k in range(3)]
+    a = u0[0] * u0[0] + u0[1] * u0[1] + u0[2] * u0[2] + COV2D_DILATION
+    b = u0[0] * u1[0] + u0[1] * u1[1] + u0[2] * u1[2]
+    c = u1[0] * u1[0] + u1[1] * u1[1] + u1[2] * u1[2] + COV2D_DILATION
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)
     inv_det = 1.0 / det_safe

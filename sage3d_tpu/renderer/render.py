@@ -47,6 +47,31 @@ def autotune_budgets(scene: GaussianScene, camera: Camera,
     return _pick_budgets(stats, scene.num_gaussians)
 
 
+def autotune_all(scene: GaussianScene, camera: Camera,
+                 sh_degree: Optional[int] = None) -> Dict[str, int]:
+    """autotune_budgets + a second probe that RUNS the binning with the chosen
+    budgets and pow2-rounds the max per-tile pair count into
+    ``tile_capacity`` — so the measured pipeline drops ZERO pairs anywhere
+    (emission budgets cover every pair; tile_capacity covers the densest
+    tile). Two device probes, two host scalars fetched; each (scene-bucket,
+    resolution) choice is one cached compile."""
+    from ..ops.binning import _pow2_at_least
+
+    budgets = autotune_budgets(scene, camera, sh_degree=sh_degree)
+
+    @partial(jax.jit, static_argnames=())
+    def max_tile_count(s):
+        proj = project_gaussians(s, camera, sh_degree=sh_degree)
+        bins = bin_gaussians(proj, camera.width, camera.height,
+                             k_small=budgets["k_small"],
+                             m_big=budgets["m_big"], k_big=budgets["k_big"])
+        return jnp.max(bins.tile_count)
+
+    budgets["tile_capacity"] = _pow2_at_least(
+        int(jax.device_get(max_tile_count(scene))))
+    return budgets
+
+
 def default_pair_capacity(n_gaussians: int, width: int, height: int) -> int:
     """Static pair-buffer size heuristic: ~16 tiles per Gaussian, pow2-rounded.
 
