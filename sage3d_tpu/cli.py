@@ -385,9 +385,15 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--mesh", default="1x1", help="data x tile, e.g. 2x4")
+    p.add_argument("--adaptive", action="store_true",
+                   help="classic 3DGS density control (split/clone/prune)")
+    p.add_argument("--capacity", type=int, default=0,
+                   help="slot capacity for --adaptive (default 2x scene)")
+    p.add_argument("--densify-every", type=int, default=50)
 
     def _train(a):
-        from .parallel.trainer import (TrainerConfig, fit_scene,
+        from .parallel.trainer import (AdaptiveConfig, TrainerConfig,
+                                       fit_scene, fit_scene_adaptive,
                                        make_orbit_targets)
         from .renderer.scene import load_ply, save_ply
         scene = load_ply(a.scene_ply)
@@ -397,7 +403,13 @@ def main(argv=None) -> int:
         cfg = TrainerConfig(lr=a.lr, steps=a.steps,
                             mesh_shape=mesh_shape,
                             checkpoint_dir=a.checkpoint_dir)
-        fitted, history = fit_scene(scene, cams, targets, cfg)
+        if a.adaptive:
+            fitted, history = fit_scene_adaptive(
+                scene, cams, targets, cfg,
+                AdaptiveConfig(densify_every=a.densify_every),
+                capacity=a.capacity or None)
+        else:
+            fitted, history = fit_scene(scene, cams, targets, cfg)
         out = a.scene_ply.replace(".ply", "_fitted.ply")
         save_ply(fitted, out)
         print(f"[train-scene] wrote {out}; final: {history[-1]}")

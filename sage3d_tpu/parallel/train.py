@@ -189,4 +189,18 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    @jax.jit
+    def train_step_adc(state: TrainState, cam_batch: Camera,
+                       targets: jnp.ndarray):
+        """Like train_step but also returns per-Gaussian positional-gradient
+        norms (N,) — the densification score of parallel/densify.py."""
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cam_batch,
+                                                  targets)
+        gnorm = jnp.linalg.norm(grads["means"], axis=-1)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss, gnorm
+
+    train_step.adc = train_step_adc
     return train_step, optimizer

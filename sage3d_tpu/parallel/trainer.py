@@ -98,6 +98,119 @@ def fit_scene(
     return fitted, history
 
 
+@dataclass
+class AdaptiveConfig:
+    densify_every: int = 50
+    densify_until: int = 10_000   # no density control after this step
+    opacity_reset_every: int = 0  # 0 = never
+    grad_threshold: float = 2e-4
+    split_scale: float = 0.05
+    prune_opacity: float = 0.005
+    max_new_fraction: float = 0.1
+
+
+def with_capacity(scene: GaussianScene, capacity: int) -> GaussianScene:
+    """Pad ``scene`` to a fixed slot capacity; extra slots are PARKED (dead)
+    so adaptive density control can grow into them without reallocation."""
+    from .densify import DEAD_LOGIT, PARK_POS
+    n = scene.num_gaussians
+    assert capacity >= n
+    pad = capacity - n
+    if pad == 0:
+        return scene
+    return GaussianScene(
+        means=jnp.pad(scene.means, ((0, pad), (0, 0)),
+                      constant_values=PARK_POS),
+        log_scales=jnp.pad(scene.log_scales, ((0, pad), (0, 0))),
+        quats=jnp.pad(scene.quats, ((0, pad), (0, 0))).at[n:, 0].set(1.0),
+        opacity_logits=jnp.pad(scene.opacity_logits, (0, pad),
+                               constant_values=DEAD_LOGIT),
+        sh=jnp.pad(scene.sh, ((0, pad), (0, 0), (0, 0))),
+        semantic_ids=jnp.pad(scene.semantic_ids, (0, pad),
+                             constant_values=-1),
+    )
+
+
+def fit_scene_adaptive(
+    scene: GaussianScene,
+    cameras: Camera,
+    targets: jnp.ndarray,
+    config: TrainerConfig = TrainerConfig(),
+    adaptive: AdaptiveConfig = AdaptiveConfig(),
+    capacity: Optional[int] = None,
+    seed: int = 0,
+    verbose: bool = True,
+):
+    """fit_scene + classic 3DGS adaptive density control (densify/prune).
+
+    ``capacity`` fixes the slot count (default 2x the initial scene); live
+    Gaussians grow/shrink inside it with static shapes (parallel/densify.py).
+    Returns (fitted_scene, history); history entries carry live-count info.
+    """
+    from .densify import (DensifyConfig, accumulate, densify_prune,
+                          init_densify_state, reset_opacity)
+
+    cap = capacity or 2 * scene.num_gaussians
+    mesh = make_mesh(config.mesh_shape)
+    n_tile = config.mesh_shape[1]
+    template = pad_scene_to(with_capacity(scene, cap), max(n_tile, 1))
+    opt = make_optimizer(config.lr)
+    train_step, _ = make_train_step(
+        template, cameras, mesh, optimizer=opt, backend=config.backend,
+        pair_capacity=config.pair_capacity, tile_capacity=config.tile_capacity)
+
+    params = scene_params(template)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    dstate = init_densify_state(template.num_gaussians)
+    dcfg = DensifyConfig(grad_threshold=adaptive.grad_threshold,
+                         split_scale=adaptive.split_scale,
+                         prune_opacity=adaptive.prune_opacity,
+                         max_new_fraction=adaptive.max_new_fraction)
+    key = jax.random.PRNGKey(seed)
+    semantic_ids = template.semantic_ids
+
+    history = []
+    t0 = time.time()
+    with mesh:
+        for step in range(config.steps):
+            state, loss, gnorm = train_step.adc(state, cameras, targets)
+            dstate = accumulate(dstate, gnorm[:, None])
+            info = None
+            if (step + 1) % adaptive.densify_every == 0 \
+                    and step + 1 <= adaptive.densify_until:
+                key, sub = jax.random.split(key)
+                new_params, dstate, opt_state, semantic_ids, info = \
+                    densify_prune(state.params, dstate, sub, dcfg,
+                                  opt_state=state.opt_state,
+                                  semantic_ids=semantic_ids)
+                state = TrainState(new_params, opt_state, state.step)
+                if adaptive.opacity_reset_every and \
+                        (step + 1) % adaptive.opacity_reset_every == 0:
+                    state = state._replace(
+                        params=reset_opacity(state.params))
+            if (step + 1) % config.log_every == 0 or info is not None \
+                    or step + 1 == config.steps:
+                mse = float(jax.device_get(loss))
+                h = {"step": step + 1, "mse": mse, "psnr": psnr(mse),
+                     "elapsed_s": time.time() - t0}
+                if info is not None:
+                    h.update({k: int(jax.device_get(v))
+                              for k, v in info.items()})
+                history.append(h)
+                if verbose:
+                    extra = (f" alive={h['n_alive']} new={h['n_new']} "
+                             f"pruned={h['n_pruned']}" if info is not None
+                             else "")
+                    print(f"[trainer/adc] step {h['step']} "
+                          f"mse={h['mse']:.6f} psnr={h['psnr']:.2f}dB"
+                          f"{extra}")
+
+    fitted = with_params(template, state.params)._replace(
+        semantic_ids=semantic_ids)
+    return fitted, history
+
+
 def make_orbit_targets(scene: GaussianScene, n_views: int = 4,
                        radius: float = 5.0, width: int = 128,
                        height: int = 128, backend: str = "xla"):
