@@ -428,6 +428,22 @@ def main(argv=None) -> int:
     p.add_argument("--device", default="cpu")
     p.set_defaults(fn=cmd_serve_mllm)
 
+    p = sub.add_parser("serve-jax",
+                       help="TPU-hosted JAX CNN policy behind the MLLM wire")
+    p.add_argument("--port", type=int, default=9701)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+
+    def _serve_jax(a):
+        from .serve.jax_policy import make_jax_policy_server
+        make_jax_policy_server(port=a.port, seed=a.seed, height=a.height,
+                               width=a.width,
+                               frames=a.frames).serve_forever()
+        return 0
+    p.set_defaults(fn=_serve_jax)
+
     p = sub.add_parser("serve-video",
                        help="NaVILA-class 8-frame video-prompt server")
     p.add_argument("--model-id", required=True)

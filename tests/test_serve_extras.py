@@ -114,3 +114,29 @@ def test_video_prompt_adapter_frame_normalization():
     assert ad.normalize_frames([]) == []
     assert ad.normalize_frames([1, 2]) == [1, 1, 1, 2]
     assert ad.normalize_frames([1, 2, 3, 4, 5, 6]) == [3, 4, 5, 6]
+
+
+def test_jax_policy_server_wire_roundtrip():
+    """TPU-hostable JAX policy (serve/jax_policy.py): jitted CNN behind the
+    MLLM wire protocol; the mllm-family client gets a canonical action."""
+    import jax
+    from sage3d_tpu.serve.client import create_vlm_client
+    from sage3d_tpu.serve.jax_policy import (ACTIONS, cnn_policy_apply,
+                                             init_cnn_policy,
+                                             make_jax_policy_server)
+
+    params = init_cnn_policy(jax.random.PRNGKey(0), height=32, width=32,
+                             frames=2)
+    logits = cnn_policy_apply(
+        params, jax.numpy.zeros((2, 32, 32, 3), jax.numpy.float32))
+    assert logits.shape == (len(ACTIONS),)
+
+    with make_jax_policy_server(port=0, params=params, height=32, width=32,
+                                frames=2) as srv:
+        client = create_vlm_client(input_type="rgb", output_type="text",
+                                   protocol="socket", host="127.0.0.1",
+                                   port=srv.port)
+        img = np.zeros((16, 16, 3), np.uint8)
+        resp = client.query([img], "go forward", current_yaw=0.0)
+    assert "error" not in resp
+    assert srv.stats["requests"] == 1
