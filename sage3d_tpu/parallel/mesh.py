@@ -63,3 +63,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def data_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+def process_local_episodes(episodes: Sequence, process_index: Optional[int] = None,
+                           process_count: Optional[int] = None) -> list:
+    """Host-local slice of a global episode/scene list (round-robin).
+
+    The multi-host replacement for the reference's
+    ``hash(scene_id) % total_instances == instance_id`` process sharding
+    (generate_images.py:136-139): each host loads only its own episodes;
+    device arrays built from them enter the mesh via
+    ``global_batch_from_local``. Round-robin (not hash) so the split is
+    exhaustive and balanced regardless of id distribution.
+    """
+    i = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    return list(episodes[i::n])
+
+
+def global_batch_from_local(mesh: Mesh, local: np.ndarray,
+                            axis: str = "data"):
+    """Assemble a globally-sharded batch from each host's LOCAL rows
+    (jax.make_array_from_process_local_data — SURVEY section 5.8): hosts never
+    materialize each other's data; the array's global shape concatenates all
+    hosts' rows along the sharded axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local))

@@ -162,3 +162,26 @@ def test_train_step_bucketed_matches_monolithic():
             state, loss = step(state, cams, targets)
         losses[buckets] = float(loss)
     assert abs(losses[1] - losses[4]) < 1e-6, losses
+
+
+def test_process_local_episodes_partition():
+    """Round-robin host sharding: exhaustive, disjoint, balanced (the
+    multi-host replacement for generate_images.py:136-139 hash sharding)."""
+    from sage3d_tpu.parallel.mesh import process_local_episodes
+    eps = [f"ep{i}" for i in range(10)]
+    parts = [process_local_episodes(eps, process_index=i, process_count=3)
+             for i in range(3)]
+    assert sorted(sum(parts, [])) == sorted(eps)
+    assert {len(p) for p in parts} == {3, 4}
+    # single process (the default on this host) gets everything
+    assert process_local_episodes(eps) == eps
+
+
+def test_global_batch_from_local_single_host():
+    from sage3d_tpu.parallel.mesh import global_batch_from_local, make_mesh
+    mesh = make_mesh((8, 1))
+    local = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = global_batch_from_local(mesh, local, axis="data")
+    assert arr.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(arr), local)
+    assert len(arr.sharding.device_set) == 8
