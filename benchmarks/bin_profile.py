@@ -165,3 +165,23 @@ def emit_only_small(c, proj):
 
 timed("emit small block (int div/mod)", emit_only_small, (proj,))
 timed("emit small block (f32-recip div)", emit_fdiv, (proj,))
+
+
+# Sort on the REAL key distribution: ~72% INVALID_KEY duplicate tail (random
+# probes above use uniform keys, which may behave differently).
+import numpy as _np
+
+kk = jax.random.randint(jax.random.PRNGKey(7), (E,), 0, 2**30, jnp.int32)
+mask = jax.random.uniform(jax.random.PRNGKey(8), (E,)) < 0.72
+kk = jax.block_until_ready(jnp.where(mask, jnp.int32(2**31 - 1), kk))
+vv = jax.block_until_ready(
+    jax.random.randint(jax.random.PRNGKey(9), (E,), 0, 2**20, jnp.int32))
+
+
+def sort_dup(c, kk, vv):
+    ks, vs = jax.lax.sort((kk + c.astype(jnp.int32) * 0, vv),
+                          dimension=0, is_stable=False, num_keys=1)
+    return consume(ks) + consume(vs)
+
+
+timed(f"2-op sort ({E/1e6:.1f}M, 72% INVALID dups)", sort_dup, (kk, vv))

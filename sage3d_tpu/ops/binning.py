@@ -6,13 +6,13 @@ inputs): lax.sort is FAST (~1 ms/M elements), while scatters and 1-D gathers
 with traced indices are 2-3 orders of magnitude slower per element. So the
 binning is built from sorts and elementwise math ONLY — no big scatters:
 
-  1. Each visible Gaussian gets a 20-bit monotone DEPTH CODE from its f32
-     depth's raw bits (IEEE ordering is monotone for positive floats, so the
-     top exponent+mantissa bits sort identically to the value — the classic
-     CUDA-3DGS key trick). No argsort, no inverse-permutation scatter, and
-     the code is independent of N (no 2^20-Gaussian cap per shard). Nearly
-     equal depths may share a code; their mutual order is decided once by
-     the pair sort and shared by every backend, so parity is unaffected.
+  1. Each visible Gaussian gets a depth RANK (front-to-back, ties broken by
+     index — the oracle's stable order) from an argsort whose inverse comes
+     from a SECOND argsort, never a scatter (sorts are ~1-2 ms at 1M rows,
+     the unique-index inverse scatter was ~13 ms). Raw f32-bit depth codes
+     (the CUDA-3DGS key trick) were tried and rejected: planar scenes have
+     EXACTLY equal depths, and codes cannot express index tie-breaking, so
+     oracle parity broke.
   2. Every visible Gaussian emits up to K1 candidate (tile, gaussian) entries
      elementwise from its TIGHT AABB tile rect (per-axis cutoff-ellipse
      extents, row-major), each candidate additionally CULLED by an exact
@@ -24,12 +24,13 @@ binning is built from sorts and elementwise math ONLY — no big scatters:
      never silently wrong. `suggest_budgets` sizes (K1, M_BIG, K2) and the
      pair capacity from one cheap elementwise probe so production configs run
      overflow-free.
-  3. Entries carry a fused int32 key  tile * 2^20 + depth_rank  (rank < 2^20);
-     invalid entries get INT32_MAX. ONE unstable single-key sort orders all
-     entries per-tile front-to-back and sinks the padding to the end. When the
-     fused key would overflow int32 (> 2047 tiles, e.g. 4K frames) the binning
-     automatically switches to an equivalent two-key sort (tile, rank) —
-     slightly slower, resolution-unlimited.
+  3. Entries carry a fused int32 key  tile * 2^rank_bits + depth_rank, where
+     rank_bits takes every bit the tile field does not need (>= 20); invalid
+     entries get INT32_MAX. ONE unstable single-key sort orders all entries
+     per-tile front-to-back and sinks the padding to the end. When the fused
+     key cannot fit int32 (> 2047 tiles, e.g. 4K frames; or N > 2^rank_bits)
+     the binning automatically switches to an equivalent two-key sort
+     (tile, rank) — slightly slower, resolution- and scene-size-unlimited.
   4. Per-tile [start, count) ranges come from a small searchsorted (T queries).
 
 Everything is static-shaped and jittable; the entry budget is
