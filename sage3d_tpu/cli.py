@@ -435,8 +435,24 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=128)
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=0,
+                   help=">0: micro-batch concurrent clients (serve/"
+                        "batch_server.py), sharing one vmapped TPU call")
 
     def _serve_jax(a):
+        if a.batch > 0:
+            import time as _time
+            from .serve.batch_server import from_jax_policy
+            srv = from_jax_policy(seed=a.seed, height=a.height,
+                                  width=a.width, frames=a.frames,
+                                  port=a.port, max_batch=a.batch).start()
+            print(f"[serve-jax] batching up to {a.batch} on :{srv.port}")
+            try:
+                while True:
+                    _time.sleep(1.0)
+            except KeyboardInterrupt:
+                srv.stop()
+            return 0
         from .serve.jax_policy import make_jax_policy_server
         make_jax_policy_server(port=a.port, seed=a.seed, height=a.height,
                                width=a.width,

@@ -140,3 +140,35 @@ def test_jax_policy_server_wire_roundtrip():
         resp = client.query([img], "go forward", current_yaw=0.0)
     assert "error" not in resp
     assert srv.stats["requests"] == 1
+
+
+def test_batch_policy_server_microbatches_concurrent_clients():
+    """serve/batch_server.py: N concurrent clients share device launches —
+    all get valid actions, and at least one batch carried multiple requests."""
+    import threading
+
+    from sage3d_tpu.serve.batch_server import from_jax_policy
+    from sage3d_tpu.serve.client import create_vlm_client
+
+    with from_jax_policy(height=32, width=32, frames=2, max_batch=4,
+                         max_wait_s=0.2) as srv:
+        results = {}
+
+        def one(i):
+            client = create_vlm_client(input_type="rgb", output_type="text",
+                                       protocol="socket", host="127.0.0.1",
+                                       port=srv.port)
+            img = np.full((16, 16, 3), i * 10, np.uint8)
+            results[i] = client.query([img], "go", current_yaw=0.0)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+
+    assert len(results) == 6
+    assert all("error" not in r for r in results.values())
+    assert srv.stats["requests"] == 6
+    assert srv.stats["batches"] < 6          # batching actually happened
+    assert srv.stats["max_batch_seen"] >= 2
