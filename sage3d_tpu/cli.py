@@ -64,6 +64,10 @@ def cmd_run_benchmark(args) -> int:
         cfg.apply_fast_mode("fast")
     if args.ultra_fast:
         cfg.apply_fast_mode("ultra")
+    if args.task_type:
+        cfg.benchmark.task_type = args.task_type
+    if args.input_type:
+        cfg.benchmark.use_depth = args.input_type == "rgbd"
 
     if args.test_dir:
         # Batch mode: recursive test_*.json discovery + per-file scene/map
@@ -90,7 +94,8 @@ def cmd_run_benchmark(args) -> int:
             model_info=args.model_type, instance_id=args.instance_id,
             total_instances=args.total_instances, quiet=False,
             use_depth=cfg.benchmark.use_depth,
-            record_video=cfg.benchmark.record_video)
+            record_video=cfg.benchmark.record_video,
+            task_type=cfg.benchmark.task_type)
         print(json.dumps(summary["batch_summary"], indent=2))
         return 0
 
@@ -184,6 +189,14 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="localhost")
     p.add_argument("--port", type=int, default=55221)
     p.add_argument("--max-episodes", type=int, default=None)
+    p.add_argument("--task-type", default=None,
+                   choices=["vln", "objectnav", "pointnav", "imgnav",
+                            "nogoalnav"],
+                   help="force a task type (default: inferred per episode; "
+                        "mirrors run_benchmark.py --task-type)")
+    p.add_argument("--input-type", default=None, choices=["rgb", "rgbd"],
+                   help="input modality; rgbd adds depth frames "
+                        "(mirrors run_benchmark.py --input-type)")
     p.add_argument("--no-skip-completed", action="store_true")
     p.add_argument("--disable-collision", action="store_true")
     p.add_argument("--fast-mode", action="store_true")
