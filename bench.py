@@ -216,6 +216,17 @@ def main():
             "PARITY": {"800x800": parity_800, "1080p": parity_1080},
         },
     }
+    # Attach previously recorded auxiliary measurements (rollout rates,
+    # resolution sweep incl. the 4K two-key path) so the single bench line
+    # carries the full picture; they are re-measured by benchmarks/*.py, not
+    # by this run — see docs/BENCH_AUX_r02.json for provenance.
+    aux_path = os.path.join(os.path.dirname(__file__) or ".", "docs",
+                            "BENCH_AUX_r02.json")
+    if os.path.exists(aux_path):
+        with open(aux_path) as f:
+            aux = json.load(f)
+        result["detail"]["aux_recorded"] = {
+            k: aux[k] for k in ("rollout", "resolution_sweep") if k in aux}
     print(json.dumps(result))
 
 

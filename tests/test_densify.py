@@ -142,3 +142,27 @@ def test_fit_scene_adaptive_grows_and_improves():
     rounds = [h for h in history if "n_alive" in h]
     assert rounds and rounds[-1]["n_alive"] > 200   # grew into capacity
     assert history[-1]["mse"] < history[0]["mse"]   # and still fits better
+
+
+def test_fit_scene_adaptive_on_tile_mesh():
+    """Density control composes with the sharded train step: params stay on
+    the (1,2) mesh across densify rounds and the run still improves."""
+    from sage3d_tpu.parallel.trainer import (AdaptiveConfig, TrainerConfig,
+                                             fit_scene_adaptive,
+                                             make_orbit_targets)
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    gt = synthetic_room(300, seed=5)
+    cameras, targets = make_orbit_targets(gt, n_views=2, radius=4.0,
+                                          width=64, height=64)
+    init = synthetic_room(100, seed=6)
+    fitted, history = fit_scene_adaptive(
+        init, cameras, targets,
+        TrainerConfig(steps=30, lr=5e-3, log_every=10, mesh_shape=(1, 2),
+                      pair_capacity=1 << 15, tile_capacity=512),
+        AdaptiveConfig(densify_every=10, grad_threshold=1e-7,
+                       max_new_fraction=0.3),
+        capacity=200, verbose=False)
+    rounds = [h for h in history if "n_alive" in h]
+    assert rounds and rounds[-1]["n_alive"] > 100
+    assert history[-1]["mse"] < history[0]["mse"]
