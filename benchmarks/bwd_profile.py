@@ -137,9 +137,9 @@ def fusion(c, dcols, ids):
     change = gid_s[1:] != gid_s[:-1]
     is_last = jnp.concatenate([change, jnp.array([True])])
     ar = jnp.arange(p_grad, dtype=jnp.int32)
-    hi = jnp.zeros((n_gauss,), jnp.int32).at[
-        jnp.where(is_last, gid_s, n_gauss)].set(
-        ar + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+    idx = jnp.where(is_last, gid_s, n_gauss + ar)
+    hi = jnp.zeros((n_gauss + p_grad,), jnp.int32).at[idx].set(
+        ar + 1, unique_indices=True)[:n_gauss]
     hi = jax.lax.cummax(hi)
     zero_row = jnp.zeros((1, NGRAD), jnp.float32)
     csum_ext = jnp.concatenate([zero_row, csum], axis=0)
@@ -164,7 +164,8 @@ def _stats(s):
 
 st = jax.device_get(_stats(scene))
 log(f"binning stats: n_visible={int(st['n_visible'])} "
-    f"sum_count={int(st['sum_count'])} max_count={int(st['max_count'])} "
+    f"sum_count={sum(int(p) for p in st['sum_count_parts'])} "
+    f"max_count={int(st['max_count'])} "
     f"exceed{SUGGEST_THRESHOLDS}={list(map(int, st['exceed']))}")
 
 

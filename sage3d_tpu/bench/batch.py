@@ -182,12 +182,14 @@ def run_batch_benchmark(
             summary = run_benchmark(
                 env, episodes, policy, output_dir=str(out_root),
                 max_steps=max_steps, skip_completed=skip_completed,
-                quiet=quiet, map_file=map_file or None, **episode_kw)
+                quiet=quiet, map_file=map_file or None,
+                # per-file summaries must not clobber each other (or the
+                # final batch summary) in the shared out_root
+                summary_filename=f"summary_{Path(tf).stem}.json",
+                **episode_kw)
             n = summary["num_episodes"] + summary["num_skipped"]
-            succ = int(round(summary.get("metrics", {}).get("success", 0.0)
-                             * max(summary["num_episodes"], 1)))
             rec.update(status="ok", total_episodes=n,
-                       successful_episodes=succ,
+                       successful_episodes=summary["num_success"],
                        failed_episodes=summary["num_failures"],
                        metrics=summary.get("metrics", {}),
                        num_skipped=summary["num_skipped"])

@@ -43,6 +43,25 @@ def check_episode_completed(output_dir: Path, scene_name: str,
         return False
 
 
+def load_completed_measurements(output_dir: Path, scene_name: str,
+                                episode_id: str):
+    """The measurements dict of a completed episode, or None if absent/
+    invalid — the resume path's data source (aggregates must cover resumed
+    episodes, not just freshly-run ones)."""
+    path = Path(output_dir) / scene_name / episode_id / "measurements" / \
+        f"{episode_id}.json"
+    if not path.exists():
+        return None
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        if "measurements" in data and "episode_info" in data:
+            return data["measurements"]
+    except (json.JSONDecodeError, OSError):
+        pass
+    return None
+
+
 class ProgressTracker:
     """Lightweight progress/ETA display (run_benchmark.py:97-276)."""
 
@@ -273,21 +292,29 @@ def run_benchmark(
     skip_completed: bool = True,
     max_episodes: Optional[int] = None,
     quiet: bool = True,
+    summary_filename: str = "batch_test_summary.json",
     **episode_kw,
 ) -> Dict[str, Any]:
     """Run a batch of episodes with resume + per-episode failure isolation
-    (run_benchmark.py:2137-2351). Returns an aggregate summary."""
+    (run_benchmark.py:2137-2351). Returns an aggregate summary.
+
+    Resumed (skipped) episodes load their existing measurement JSON so the
+    aggregate metrics and success counts cover the WHOLE batch, not just the
+    episodes run in this invocation."""
     if max_episodes is not None:
         episodes = episodes[:max_episodes]
     tracker = ProgressTracker(len(episodes), quiet=quiet)
     records, failures, skipped = [], [], 0
 
     for ep in episodes:
-        if skip_completed and output_dir is not None and check_episode_completed(
+        if skip_completed and output_dir is not None:
+            prior = load_completed_measurements(
                 Path(output_dir), ep.get("scene_name", "scene"),
-                ep.get("episode_id", "0")):
-            skipped += 1
-            continue
+                ep.get("episode_id", "0"))
+            if prior is not None:
+                skipped += 1
+                records.append({"measurements": prior, "resumed": True})
+                continue
         try:
             rec = run_episode(env, ep, policy, max_steps=max_steps,
                               output_dir=output_dir, **episode_kw)
@@ -298,19 +325,23 @@ def run_benchmark(
                              "error": str(e)})
             tracker.update(False)
 
+    n_success = sum(1 for r in records
+                    if r["measurements"].get("success", 0.0) >= 1.0)
     summary: Dict[str, Any] = {
-        "num_episodes": len(records),
+        "num_episodes": len(records) - skipped,
         "num_failures": len(failures),
         "num_skipped": skipped,
+        "num_success": n_success,      # exact, includes resumed episodes
         "failures": failures,
     }
     if records:
         keys = records[0]["measurements"].keys()
         summary["metrics"] = {
-            k: float(np.mean([r["measurements"][k] for r in records]))
+            k: float(np.mean([r["measurements"][k] for r in records
+                              if k in r["measurements"]]))
             for k in keys}
     if output_dir is not None:
         Path(output_dir).mkdir(parents=True, exist_ok=True)
-        with open(Path(output_dir) / "batch_test_summary.json", "w") as f:
+        with open(Path(output_dir) / summary_filename, "w") as f:
             json.dump(summary, f, indent=2)
     return summary

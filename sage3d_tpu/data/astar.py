@@ -177,7 +177,11 @@ def wavefront_distances(free: jnp.ndarray, sources: jnp.ndarray) -> jnp.ndarray:
 
     def cond(carry):
         dist, changed, it = carry
-        return changed & (it < h + w + 64)
+        # safety bound ONLY — the loop exits on convergence. A shortest
+        # 8-connected path can wind through O(h*w) cells (serpentine floor
+        # plans), so an h+w-scaled cap would silently mark long paths
+        # unreachable while serial A* finds them.
+        return changed & (it < h * w + 64)
 
     def body(carry):
         dist, _, it = carry

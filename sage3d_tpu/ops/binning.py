@@ -254,9 +254,16 @@ def pair_count_stats(proj: ProjectedGaussians, width: int, height: int,
                                               tile_w, tile_h)
     exceed = jnp.stack([jnp.sum((count > k).astype(jnp.int32))
                         for k in SUGGEST_THRESHOLDS])
+    # sum_count can exceed int32 on huge scenes (2M Gaussians x >1k tiles
+    # each); x64 is off, so return 256 chunk partials (each safely < 2^31:
+    # chunk <= ceil(N/256) Gaussians x count < n_tiles) and let the host sum
+    # them in Python ints (see _pick_budgets).
+    n = count.shape[0]
+    pad = (-n) % 256
+    parts = jnp.sum(jnp.pad(count, (0, pad)).reshape(256, -1), axis=1)
     return {
         "n_visible": jnp.sum(vis.astype(jnp.int32)),
-        "sum_count": jnp.sum(count),
+        "sum_count_parts": parts,
         "max_count": jnp.max(count),
         "exceed": exceed,   # aligned with SUGGEST_THRESHOLDS
     }
@@ -286,7 +293,7 @@ def suggest_budgets(proj: ProjectedGaussians, width: int, height: int,
 def _pick_budgets(stats: dict, n: int) -> dict:
     """Host-side budget choice from fetched `pair_count_stats` scalars."""
     max_count = int(stats["max_count"])
-    sum_count = int(stats["sum_count"])
+    sum_count = sum(int(p) for p in stats["sum_count_parts"])
     k_big = max(_pow2_at_least(max_count), 8)
     best = None
     for k1, n_exceed in zip(SUGGEST_THRESHOLDS, stats["exceed"]):

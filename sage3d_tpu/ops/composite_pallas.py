@@ -477,9 +477,13 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         # filled with cummax (N-sized, cheap), which makes every segment's
         # START equal to the PREVIOUS Gaussian's end — so the "lo" scatter and
         # its N-row gather disappear into a shift of the "hi" gather.
-        hi = jnp.zeros((n_gauss,), jnp.int32).at[
-            jnp.where(is_last, gid_s, n_gauss)].set(
-            ar + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+        # Non-last rows scatter into DISTINCT dump slots (n_gauss + row) so
+        # the index vector is GENUINELY unique — a shared OOB sentinel would
+        # repeat, and unique_indices covers the whole array, duplicates-
+        # before-drop included (a false promise XLA may exploit).
+        idx = jnp.where(is_last, gid_s, n_gauss + ar)
+        hi = jnp.zeros((n_gauss + p_grad,), jnp.int32).at[idx].set(
+            ar + 1, unique_indices=True)[:n_gauss]
         hi = jax.lax.cummax(hi)   # fill absent ids -> their segment is empty
         zero_row = jnp.zeros((1, NGRAD), jnp.float32)
         csum_ext = jnp.concatenate([zero_row, csum], axis=0)

@@ -60,7 +60,12 @@ def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
 
 
 def covariance_3d(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
-    """Sigma = R S S^T R^T for per-Gaussian scales/rotations."""
+    """Sigma = R S S^T R^T for per-Gaussian scales/rotations.
+
+    REFERENCE form: project_gaussians computes the same quantity as fused
+    scalar channels (the (N,3,3) batched-matmul path pads to vector lanes and
+    was 5x slower); tests pin the channel math against this implementation
+    (test_renderer_core.test_channel_cov2d_matches_matrix_form)."""
     R = quat_to_rotmat(quats)                      # (N, 3, 3)
     S = jnp.exp(log_scales)                        # (N, 3)
     M = R * S[..., None, :]                        # R @ diag(S)

@@ -12,7 +12,7 @@ model. TPU-native redesign:
     projection frustum-culls them for free; aliveness is derivable from the
     opacity logit alone — no separate mask array to keep in sync.
   * Each control round is ONE jitted program of N-sized elementwise math,
-    two argsorts and unique-index scatters (the measured-fast op set — see
+    two argsorts and drop-mode scatters (the measured-fast op set — see
     ops/binning.py's cost model): rank split/clone candidates by accumulated
     gradient score, rank free slots, and write candidate k into free slot k
     with fixed-shape validity masking. No reallocation, no host sync.
@@ -70,8 +70,7 @@ def _zero_rows_like(x, dst, n):
     """Zero rows ``dst`` (invalid entries == n are dropped) of an N-major leaf."""
     if not hasattr(x, "shape") or x.ndim == 0 or x.shape[0] != n:
         return x
-    return x.at[dst].set(jnp.zeros((), x.dtype), mode="drop",
-                         unique_indices=True)
+    return x.at[dst].set(jnp.zeros((), x.dtype), mode="drop")
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -132,28 +131,29 @@ def densify_prune(
     shrink = jnp.where(split_src[:, None], jnp.log(SPLIT_SHRINK), 0.0)
     new_logsc = params["log_scales"][src] - shrink
 
+    # NOTE: no unique_indices hint on these scatters — the invalid entries
+    # all carry the (duplicated) OOB sentinel ``n``, and the hint's contract
+    # covers the whole index array, duplicates-before-drop included; XLA may
+    # exploit a false promise. Density control runs once per densify_every
+    # steps, so the hint's saving is irrelevant here.
     out = dict(params)
-    out["means"] = out["means"].at[dst].set(
-        new_means, mode="drop", unique_indices=True)
-    out["log_scales"] = out["log_scales"].at[dst].set(
-        new_logsc, mode="drop", unique_indices=True)
-    out["quats"] = out["quats"].at[dst].set(
-        params["quats"][src], mode="drop", unique_indices=True)
+    out["means"] = out["means"].at[dst].set(new_means, mode="drop")
+    out["log_scales"] = out["log_scales"].at[dst].set(new_logsc, mode="drop")
+    out["quats"] = out["quats"].at[dst].set(params["quats"][src],
+                                            mode="drop")
     out["opacity_logits"] = out["opacity_logits"].at[dst].set(
-        opac_logit[src], mode="drop", unique_indices=True)
-    out["sh"] = out["sh"].at[dst].set(
-        params["sh"][src], mode="drop", unique_indices=True)
+        opac_logit[src], mode="drop")
+    out["sh"] = out["sh"].at[dst].set(params["sh"][src], mode="drop")
 
     # Split sources shrink too (the two halves replace the parent).
     src_write = jnp.where(valid & split_src, src, n)
     out["log_scales"] = out["log_scales"].at[src_write].set(
-        new_logsc, mode="drop", unique_indices=True)
+        new_logsc, mode="drop")
 
     # Park pruned slots (unless immediately overwritten above — scatter order
     # guarantees overwrite wins because parking is applied FIRST on the
     # already-updated array only where still prune&not-rewritten).
-    parked = prune & ~jnp.zeros_like(prune).at[dst].set(
-        True, mode="drop", unique_indices=True)
+    parked = prune & ~jnp.zeros_like(prune).at[dst].set(True, mode="drop")
     out["opacity_logits"] = jnp.where(parked, DEAD_LOGIT,
                                       out["opacity_logits"])
     out["means"] = jnp.where(parked[:, None], PARK_POS, out["means"])
@@ -163,8 +163,8 @@ def densify_prune(
             lambda x: _zero_rows_like(_zero_rows_like(x, dst, n),
                                       src_write, n), opt_state)
     if semantic_ids is not None:
-        semantic_ids = semantic_ids.at[dst].set(
-            semantic_ids[src], mode="drop", unique_indices=True)
+        semantic_ids = semantic_ids.at[dst].set(semantic_ids[src],
+                                                mode="drop")
         semantic_ids = jnp.where(parked, -1, semantic_ids)
 
     n_new = jnp.sum(valid.astype(jnp.int32))

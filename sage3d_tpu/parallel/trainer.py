@@ -185,10 +185,9 @@ def fit_scene_adaptive(
                                   opt_state=state.opt_state,
                                   semantic_ids=semantic_ids)
                 state = TrainState(new_params, opt_state, state.step)
-                if adaptive.opacity_reset_every and \
-                        (step + 1) % adaptive.opacity_reset_every == 0:
-                    state = state._replace(
-                        params=reset_opacity(state.params))
+            if adaptive.opacity_reset_every and \
+                    (step + 1) % adaptive.opacity_reset_every == 0:
+                state = state._replace(params=reset_opacity(state.params))
             if (step + 1) % config.log_every == 0 or info is not None \
                     or step + 1 == config.steps:
                 mse = float(jax.device_get(loss))

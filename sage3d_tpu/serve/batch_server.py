@@ -67,21 +67,10 @@ class BatchPolicyServer:
         self._threads: List[threading.Thread] = []
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
 
-    # -- frame prep (same contract as JaxPolicyAdapter) ---------------------
+    # -- frame prep (shared contract: serve/jax_policy.prep_frames) ---------
     def _prep(self, images: List) -> np.ndarray:
-        from PIL import Image
-        t = self.frames
-        imgs = list(images[-t:]) if images else []
-        if not imgs:
-            imgs = [Image.new("RGB", (self.width, self.height))]
-        imgs = [imgs[0]] * (t - len(imgs)) + imgs
-        arrs = []
-        for im in imgs:
-            if not isinstance(im, Image.Image):
-                im = Image.fromarray(np.asarray(im))
-            im = im.convert("RGB").resize((self.width, self.height))
-            arrs.append(np.asarray(im, np.float32) / 255.0)
-        return np.stack(arrs)
+        from .jax_policy import prep_frames
+        return prep_frames(images, self.height, self.width, self.frames)
 
     # -- batcher ------------------------------------------------------------
     def _batcher(self) -> None:

@@ -73,6 +73,26 @@ def cnn_policy_apply(params: Dict[str, jnp.ndarray],
     return (x @ params["head_w"] + params["head_b"])[0]
 
 
+def prep_frames(images: List, height: int, width: int,
+                frames: int) -> np.ndarray:
+    """Normalize a frame history to (frames, height, width, 3) float32 in
+    [0,1]: keep the most recent ``frames``, front-pad by repeating the first
+    (the 8-frame sliding-buffer contract, vlm_client_modular.py:54-82).
+    Single source of truth for every in-framework policy server."""
+    from PIL import Image
+    imgs = list(images[-frames:]) if images else []
+    if not imgs:
+        imgs = [Image.new("RGB", (width, height))]
+    imgs = [imgs[0]] * (frames - len(imgs)) + imgs
+    arrs = []
+    for im in imgs:
+        if not isinstance(im, Image.Image):
+            im = Image.fromarray(np.asarray(im))
+        im = im.convert("RGB").resize((width, height))
+        arrs.append(np.asarray(im, np.float32) / 255.0)
+    return np.stack(arrs)
+
+
 class JaxPolicyAdapter:
     """MLLMAdapter-compatible wrapper: decode frames, run the jitted policy,
     emit the constrained action word (the MLLM wire contract)."""
@@ -86,19 +106,8 @@ class JaxPolicyAdapter:
         self._apply = jax.jit(apply_fn)
 
     def _prep(self, images: List) -> jnp.ndarray:
-        from PIL import Image
-        t = self.frames
-        imgs = list(images[-t:]) if images else []
-        if not imgs:
-            imgs = [Image.new("RGB", (self.width, self.height))]
-        imgs = [imgs[0]] * (t - len(imgs)) + imgs
-        arrs = []
-        for im in imgs:
-            if not isinstance(im, Image.Image):
-                im = Image.fromarray(np.asarray(im))
-            im = im.convert("RGB").resize((self.width, self.height))
-            arrs.append(np.asarray(im, np.float32) / 255.0)
-        return jnp.asarray(np.stack(arrs))
+        return jnp.asarray(prep_frames(images, self.height, self.width,
+                                       self.frames))
 
     def generate_response(self, images: List, instruction: str) -> str:
         logits = self._apply(self.params, self._prep(images))

@@ -260,3 +260,25 @@ def test_images_scene_shard_filter():
     shards = [scene_shard_filter(scenes, i, 4) for i in range(4)]
     assert sorted(sum(shards, [])) == scenes       # partition, no overlap
     assert all(len(s) > 0 for s in shards)
+
+
+def test_wavefront_long_serpentine_path_matches_astar():
+    """A winding path longer than h+w cells must still be found (the
+    relaxation cap is a safety bound, not a path-length limit)."""
+    import numpy as np
+    from sage3d_tpu.data.astar import astar_pixel, plan_many
+
+    h, w = 40, 40
+    free = np.ones((h, w), bool)
+    # serpentine: a wall every 4th row, gap alternating right/left
+    for i, r in enumerate(range(2, h - 2, 4)):
+        if i % 2 == 0:
+            free[r, : w - 1] = False     # gap at the right edge
+        else:
+            free[r, 1:] = False          # gap at the left edge
+    start, goal = (0, 0), (h - 1, w - 1)
+    ref = astar_pixel(~free, start, goal)   # astar takes 1=blocked, (x, y)
+    assert ref is not None and len(ref) > h + w   # genuinely long path
+    got = plan_many(free, np.asarray([start]), np.asarray([goal]))[0]
+    assert got is not None
+    assert len(got) == len(ref)                    # same geodesic length

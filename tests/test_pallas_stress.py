@@ -162,4 +162,5 @@ def test_pair_count_stats_bounds_real_pairs():
     stats = jax.device_get(pair_count_stats(proj, 64, 64))
     bins = bin_gaussians(proj, 64, 64, k_small=64, m_big=256, k_big=1024)
     assert int(bins.overflow) == 0
-    assert int(stats["sum_count"]) >= int(jax.device_get(bins.n_pairs))
+    assert sum(int(p) for p in stats["sum_count_parts"]) >= \
+        int(jax.device_get(bins.n_pairs))

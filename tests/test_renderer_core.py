@@ -148,3 +148,49 @@ def test_render_batch_shapes(small_scene):
     out = render_batch(small_scene, cams)
     assert out["rgb"].shape == (2, H, W, 3)
     assert out["semantic"].shape == (2, H, W)
+
+
+def test_channel_cov2d_matches_matrix_form():
+    """The channel-math EWA covariance in project_gaussians must stay
+    equivalent to the (N,3,3) matrix form built from covariance_3d (the
+    reference implementation it replaced for speed)."""
+    import numpy as np
+    from sage3d_tpu.ops.projection import (COV2D_DILATION, covariance_3d,
+                                           project_gaussians)
+    from sage3d_tpu.renderer.camera import agent_camera
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(500, seed=13)
+    cam = agent_camera((0.0, -3.0), yaw=1.57, width=160, height=120)
+    proj = project_gaussians(scene, cam)
+
+    # matrix-form reference: Sigma2D = J W Sigma W^T J^T + dilation
+    R_wc = np.asarray(cam.world_to_cam)
+    t = (np.asarray(scene.means) - np.asarray(cam.position)) @ R_wc.T
+    tz = t[:, 2]
+    inv_z = 1.0 / np.where(np.abs(tz) < 1e-6, 1e-6, tz)
+    lim_x = 1.3 * (0.5 * cam.width / cam.fx)
+    lim_y = 1.3 * (0.5 * cam.height / cam.fy)
+    tz_safe = np.where(np.abs(tz) < 1e-6, 1e-6, tz)
+    txz = np.clip(t[:, 0] * inv_z, -lim_x, lim_x) * tz_safe
+    tyz = np.clip(t[:, 1] * inv_z, -lim_y, lim_y) * tz_safe
+    fx, fy = float(cam.fx), float(cam.fy)
+    J = np.zeros((len(tz), 2, 3), np.float64)
+    J[:, 0, 0] = fx * inv_z
+    J[:, 0, 2] = -fx * txz * inv_z * inv_z
+    J[:, 1, 1] = fy * inv_z
+    J[:, 1, 2] = -fy * tyz * inv_z * inv_z
+    cov3d = np.asarray(covariance_3d(scene.log_scales, scene.quats),
+                       np.float64)
+    JW = J @ R_wc
+    cov2d = JW @ cov3d @ np.swapaxes(JW, -1, -2)
+    a = cov2d[:, 0, 0] + COV2D_DILATION
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + COV2D_DILATION
+    det = a * c - b * b
+    conics_ref = np.stack([c / det, -b / det, a / det], axis=-1)
+
+    vis = np.asarray(proj.visible)
+    got = np.asarray(proj.conics)[vis]
+    want = conics_ref[vis]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
