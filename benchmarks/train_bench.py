@@ -1,0 +1,126 @@
+"""Scene-optimization training throughput on the real TPU.
+
+Fits a 100k-Gaussian synthetic room to 4 orbit views at 256x256 with the
+sharded train step (single-chip mesh here) on the pallas backend, and
+reports steps/s plus the PSNR trajectory — the "trainable renderer" proof
+the Isaac-based reference cannot express at all.
+
+Run:  timeout 7200 python benchmarks/train_bench.py > /tmp/train_bench.log 2>&1
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    from sage3d_tpu.parallel.mesh import make_mesh
+    from sage3d_tpu.parallel.train import (TrainState, make_chained_steps,
+                                           make_group_optimizer,
+                                           make_train_step, scene_params)
+    from sage3d_tpu.parallel.trainer import make_orbit_targets, psnr
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    n = 100_000
+    scene = synthetic_room(n, seed=3)
+    cameras, targets = make_orbit_targets(scene, n_views=4, radius=5.0,
+                                          width=256, height=256,
+                                          backend="xla")
+    targets = jax.block_until_ready(targets)
+    log("targets rendered")
+
+    # start from a perturbed copy: recover the scene by gradient descent.
+    # Opacities keep their true values: with alpha=0.5 zero-init at 100k-
+    # Gaussian overdraw, compositing saturates and the occluded tail's
+    # gradients vanish below the kernel's early-termination threshold (the
+    # classic 3DGS truncation — CUDA rasterizers share it); real scene
+    # fitting handles that regime with density control + opacity resets,
+    # which is fit_scene_adaptive's job, not this throughput benchmark's.
+    key = jax.random.PRNGKey(0)
+    init = scene._replace(
+        means=scene.means + 0.01 * jax.random.normal(key, scene.means.shape))
+
+    from sage3d_tpu.renderer.camera import make_camera
+    from sage3d_tpu.renderer.render import autotune_all
+    cam0 = jax.tree_util.tree_map(lambda x: x[0], cameras)
+    budgets = autotune_all(init, cam0)
+    log(f"budgets: {budgets}")
+
+    mesh = make_mesh((1, 1))
+    opt = make_group_optimizer(extent=8.0)   # room spans ~8 m
+    train_step, _ = make_train_step(init, cameras, mesh, optimizer=opt,
+                                    backend="pallas",
+                                    pair_capacity=budgets["pair_capacity"],
+                                    tile_capacity=budgets["tile_capacity"],
+                                    k_small=budgets["k_small"],
+                                    m_big=budgets["m_big"],
+                                    k_big=budgets["k_big"])
+    params = scene_params(init)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.zeros((), jnp.int32))
+
+    # gradient parity probe at THIS config (dense 256x256 view): pallas vs
+    # xla on device — training trajectories are only comparable if the
+    # backward agrees here, not just at the bench parity configs.
+    from sage3d_tpu.renderer.render import render as _render
+    import numpy as _np
+
+    def _loss(p, backend):
+        s2 = init._replace(means=p)
+        out = _render(s2, cam0, backend=backend, **{k: budgets[k] for k in
+                      ("pair_capacity", "tile_capacity", "k_small", "m_big",
+                       "k_big")})
+        return jnp.sum(out["rgb"] ** 2) * 1e-6
+
+    gp = jax.device_get(jax.jit(jax.grad(_loss), static_argnames=("backend",))(
+        init.means, backend="pallas"))
+    gx = jax.device_get(jax.jit(jax.grad(_loss), static_argnames=("backend",))(
+        init.means, backend="xla"))
+    denom = max(float(_np.abs(_np.asarray(gx)).max()), 1e-12)
+    rel = float(_np.abs(_np.asarray(gp) - _np.asarray(gx)).max()) / denom
+    log(f"grad-parity at train config (means): max rel diff {rel:.2e}")
+
+    # chain 25 steps per dispatch: the tunneled device pays per-call
+    # latency ~large, so stepping one-by-one measures the tunnel, not the TPU
+    run25 = make_chained_steps(train_step, 25)
+    with mesh:
+        t0 = time.time()
+        state, loss = run25(state, cameras, targets)
+        first_loss = float(jax.device_get(loss))
+        compile_s = time.time() - t0
+        log(f"first 25 steps (compile): {compile_s:.1f}s loss={first_loss:.6f}")
+
+        steps = 100
+        t0 = time.time()
+        for _ in range(steps // 25):
+            state, loss = run25(state, cameras, targets)
+        final_loss = float(jax.device_get(loss))
+        dt = (time.time() - t0) / steps
+    log(f"{steps} steps: {dt*1e3:.1f} ms/step "
+        f"psnr {psnr(first_loss):.2f} -> {psnr(final_loss):.2f} dB")
+    print(json.dumps({
+        "n_gaussians": n, "views": 4, "resolution": "256x256",
+        "train_step_ms": round(dt * 1e3, 1),
+        "train_steps_per_s": round(1.0 / dt, 2),
+        "psnr_start_db": round(psnr(first_loss), 2),
+        "psnr_after_125_steps_db": round(psnr(final_loss), 2),
+        "backend": "pallas", "compile_s": round(compile_s, 1)}))
+
+
+if __name__ == "__main__":
+    main()
