@@ -36,6 +36,14 @@ class TrainerConfig:
     backend: str = "xla"
     pair_capacity: int = 1 << 20
     tile_capacity: int = 1024
+    group_lrs: bool = False     # classic 3DGS per-group rates (see
+    scene_extent: float = 1.0   # parallel.train.make_group_optimizer)
+
+    def make_opt(self):
+        from .train import make_group_optimizer
+        if self.group_lrs:
+            return make_group_optimizer(extent=self.scene_extent)
+        return make_optimizer(self.lr)
 
 
 def psnr(mse: float) -> float:
@@ -58,7 +66,7 @@ def fit_scene(
     mesh = make_mesh(config.mesh_shape)
     n_tile = config.mesh_shape[1]
     template = pad_scene_to(scene, max(n_tile, 1))
-    opt = make_optimizer(config.lr)
+    opt = config.make_opt()
     train_step, _ = make_train_step(
         template, cameras, mesh, optimizer=opt, backend=config.backend,
         pair_capacity=config.pair_capacity, tile_capacity=config.tile_capacity)
@@ -154,7 +162,7 @@ def fit_scene_adaptive(
     mesh = make_mesh(config.mesh_shape)
     n_tile = config.mesh_shape[1]
     template = pad_scene_to(with_capacity(scene, cap), max(n_tile, 1))
-    opt = make_optimizer(config.lr)
+    opt = config.make_opt()
     train_step, _ = make_train_step(
         template, cameras, mesh, optimizer=opt, backend=config.backend,
         pair_capacity=config.pair_capacity, tile_capacity=config.tile_capacity)
