@@ -185,3 +185,41 @@ def sort_dup(c, kk, vv):
 
 
 timed(f"2-op sort ({E/1e6:.1f}M, 72% INVALID dups)", sort_dup, (kk, vv))
+
+
+# Residual isolation: emission + concat + key build, NO sort (consume the
+# pre-sort arrays) — the gap to "bin_gaussians full" is sort+searchsorted.
+def emit_concat_keys(c, proj):
+    proj = proj._replace(depths=proj.depths + c * 0)
+    depths = jax.lax.stop_gradient(proj.depths)
+    order = jnp.argsort(jnp.where(proj.visible, depths, jnp.inf), stable=True)
+    rank = jnp.argsort(order).astype(jnp.int32)
+    vis, x0, y0, nx, count, mx, my, r2 = B._tile_rect(
+        proj, tiles_x, tiles_y, B.TILE_W, B.TILE_H)
+    small = count <= K1
+    tid_small = B._emit_block(x0, y0, nx, jnp.minimum(count, K1),
+                              vis & small, mx, my, r2, tiles_x, n_tiles,
+                              B.TILE_W, B.TILE_H, K1)
+    big_score = jnp.where(vis & ~small, count, -1)
+    big_idx = jnp.argsort(-big_score)[:MB]
+    big_sel = big_score[big_idx] > 0
+    tid_big = B._emit_block(
+        x0[big_idx], y0[big_idx], nx[big_idx],
+        jnp.minimum(count[big_idx], K2), big_sel, mx[big_idx], my[big_idx],
+        r2[big_idx], tiles_x, n_tiles, B.TILE_W, B.TILE_H, K2)
+    g_small = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                               (n, K1))
+    g_big = jnp.broadcast_to(big_idx[:, None].astype(jnp.int32), (MB, K2))
+    rank_small = jnp.broadcast_to(rank[:, None], (n, K1))
+    rank_big = jnp.broadcast_to(rank[big_idx][:, None], (MB, K2))
+    tids = jnp.concatenate([tid_small.reshape(-1), tid_big.reshape(-1)])
+    ranks = jnp.concatenate([rank_small.reshape(-1), rank_big.reshape(-1)])
+    gauss = jnp.concatenate([g_small.reshape(-1), g_big.reshape(-1)])
+    keys = jnp.where(tids < n_tiles, tids * (1 << 20) + ranks,
+                     B.INVALID_KEY)
+    return consume(keys) + consume(gauss)
+
+
+timed("emit+concat+keys (no sort)", emit_concat_keys, (proj,))
+
+
