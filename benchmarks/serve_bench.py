@@ -78,7 +78,7 @@ def main():
         for t in threads:
             t.join(timeout=120)
         wall = time.time() - t0
-        lat = sorted(d for d, ok in results)
+        lat = sorted(d for d, ok in results) or [float("inf")]
         conc = {"n_requests": len(results),
                 "all_ok": all(ok for _, ok in results),
                 "p50_ms": round(lat[len(lat)//2]*1e3, 1),

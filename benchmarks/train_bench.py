@@ -117,7 +117,7 @@ def main():
         "n_gaussians": n, "views": 4, "resolution": "256x256",
         "train_step_ms": round(dt * 1e3, 1),
         "train_steps_per_s": round(1.0 / dt, 2),
-        "psnr_start_db": round(psnr(first_loss), 2),
+        "psnr_after_25_steps_db": round(psnr(first_loss), 2),
         "psnr_after_125_steps_db": round(psnr(final_loss), 2),
         "backend": "pallas", "compile_s": round(compile_s, 1)}))
 

@@ -184,8 +184,13 @@ def run_batch_benchmark(
                 max_steps=max_steps, skip_completed=skip_completed,
                 quiet=quiet, map_file=map_file or None,
                 # per-file summaries must not clobber each other (or the
-                # final batch summary) in the shared out_root
-                summary_filename=f"summary_{Path(tf).stem}.json",
+                # final batch summary) in the shared out_root; the name
+                # encodes the path relative to test_dir because the scan is
+                # recursive and stems repeat across scene subdirectories
+                summary_filename="summary_" + str(
+                    Path(tf).resolve().relative_to(
+                        Path(test_dir).resolve())).replace(
+                    os.sep, "__").replace(".json", "") + ".json",
                 **episode_kw)
             n = summary["num_episodes"] + summary["num_skipped"]
             rec.update(status="ok", total_episodes=n,

@@ -31,16 +31,8 @@ def check_episode_completed(output_dir: Path, scene_name: str,
                             episode_id: str) -> bool:
     """Resume check: measurement file exists with the required fields
     (run_benchmark.py:369-405)."""
-    path = Path(output_dir) / scene_name / episode_id / "measurements" / \
-        f"{episode_id}.json"
-    if not path.exists():
-        return False
-    try:
-        with open(path) as f:
-            data = json.load(f)
-        return "measurements" in data and "episode_info" in data
-    except (json.JSONDecodeError, OSError):
-        return False
+    return load_completed_measurements(output_dir, scene_name,
+                                       episode_id) is not None
 
 
 def load_completed_measurements(output_dir: Path, scene_name: str,
@@ -335,7 +327,8 @@ def run_benchmark(
         "failures": failures,
     }
     if records:
-        keys = records[0]["measurements"].keys()
+        # union of keys: resumed records may predate newly added measures
+        keys = sorted({k for r in records for k in r["measurements"]})
         summary["metrics"] = {
             k: float(np.mean([r["measurements"][k] for r in records
                               if k in r["measurements"]]))

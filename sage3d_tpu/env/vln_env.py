@@ -87,7 +87,7 @@ class GaussianVLNEnv:
     def load_scene(self, scene) -> None:
         if isinstance(scene, GaussianScene):
             self.scene = scene
-        elif isinstance(scene, str) and scene.endswith("manifest.json"):
+        elif str(scene).endswith("manifest.json"):
             # scene-bundle directory (data/scene_build.py): PLY + labels
             from ..data.scene_build import load_scene_bundle
             self.scene, _ = load_scene_bundle(scene)
