@@ -72,7 +72,7 @@ def autotune(scene, camera):
     return autotune_all(scene, camera)
 
 
-def bench_backend(scene, camera, backend: str, budgets, iters: int = 6):
+def bench_backend(scene, camera, backend: str, budgets, iters: int = 12):
     from sage3d_tpu.renderer.render import render
 
     # NOTE: the scene must be an ARGUMENT of the jitted program — closing over
