@@ -148,3 +148,37 @@ def test_batch_file_sharding(batch_world):
     shard1 = [f for i, f in enumerate(files) if i % 2 == 1]
     assert len(shard0) == 1 and len(shard1) == 1
     assert set(shard0) | set(shard1) == set(files)
+
+
+def test_cli_run_benchmark_task_type_plumbing(tmp_path, monkeypatch):
+    """--task-type/--input-type flags reach the episode runner (reference
+    run_benchmark.py CLI surface)."""
+    import json as _json
+
+    from sage3d_tpu import cli
+    from tests.test_bench_harness import make_gvln_json
+
+    traj, mp = make_gvln_json(tmp_path)
+    # single-scene mode with the scripted in-process policy via socket
+    from sage3d_tpu.serve.scripted_server import ScriptedPolicyServer
+    from sage3d_tpu.renderer.scene import synthetic_room, save_ply
+
+    scene_ply = tmp_path / "scene.ply"
+    save_ply(synthetic_room(120, seed=3), str(scene_ply))
+    with ScriptedPolicyServer(port=0) as srv:
+        rc = cli.main([
+            "run-benchmark", "--scene", str(scene_ply), "--map", str(mp),
+            "--test-json", str(traj), "--model-type", "scripted",
+            "--port", str(srv.port), "--task-type", "pointnav",
+            "--input-type", "rgb", "--output-dir", str(tmp_path / "out"),
+            "--set", "renderer.width=48", "--set", "renderer.height=48",
+            "--set", "benchmark.max_steps=3",
+        ])
+    assert rc == 0
+    meas = list((tmp_path / "out").rglob("*.json"))
+    assert meas   # measurement/summary files written
+    # the forced task type landed in the episode record
+    ep_files = [p for p in meas if p.parent.name == "measurements"]
+    assert ep_files
+    rec = _json.loads(ep_files[0].read_text())
+    assert rec["episode_info"]["task_type"] == "pointnav"
