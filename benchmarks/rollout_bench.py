@@ -78,8 +78,11 @@ def main():
     yaws = np.full((B,), 1.57, np.float32)
 
     def run_batch():
+        # SAME backend as the single-episode row: the round-2 numbers compared
+        # a pallas single against an xla batch, so the "batching gain" also
+        # folded in a backend change (ADVICE r2). Both rows are pallas now.
         out = rollout_batch(scene, grid, starts, yaws, goals, n_steps=n_steps,
-                            width=160, height=128, backend="xla",
+                            width=160, height=128, backend="pallas",
                             tile_capacity=2048, use_capsule=True, **budgets160)
         return jnp.sum(out["goal_distance"][:, -1])
 
@@ -120,6 +123,7 @@ def main():
     queries_per_s = b / query_s
 
     print(json.dumps({
+        "backend_all_rows": "pallas",
         "rollout_100step_s": round(rollout_s, 3),
         "env_steps_per_s_160x128": round(steps_per_s, 2),
         "batch8_env_steps_per_s_160x128": round(batch_steps_per_s, 2),

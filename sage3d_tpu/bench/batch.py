@@ -192,7 +192,13 @@ def run_batch_benchmark(
                         Path(test_dir).resolve())).replace(
                     os.sep, "__").replace(".json", "") + ".json",
                 **episode_kw)
-            n = summary["num_episodes"] + summary["num_skipped"]
+            # Denominator covers every ATTEMPTED episode (run-OK + resumed +
+            # errored) so a crash cannot inflate the rate. Note the semantics
+            # differ from run_benchmark.py:539-552 on purpose:
+            # successful_episodes here means TASK success, not merely
+            # completed-without-error.
+            n = (summary["num_episodes"] + summary["num_skipped"]
+                 + summary["num_failures"])
             rec.update(status="ok", total_episodes=n,
                        successful_episodes=summary["num_success"],
                        failed_episodes=summary["num_failures"],

@@ -544,6 +544,14 @@ def composite_tiles_pallas(
     # gradient rows (see _bwd: the id rides along and the VJP segment-sums
     # the slot buffer with one sort, no index maps).
     n = proj.depths.shape[0]
+    # Gradient routing rides a float32 Gaussian id (GID_COL), exact only for
+    # n < 2^24. Binning itself has no scene-size cap (two-key path), so fail
+    # LOUDLY here instead of silently mis-routing gradients on a giant scene.
+    if n >= (1 << 24):
+        raise ValueError(
+            f"composite_tiles_pallas: {n} Gaussians >= 2^24; the f32 id "
+            "channel of the backward would mis-route gradients. Use the XLA "
+            "compositor or shard the scene.")
     attrs = jnp.stack([
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
         proj.means2d[:, 0], proj.means2d[:, 1],

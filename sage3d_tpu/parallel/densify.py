@@ -178,6 +178,26 @@ def densify_prune(
     return out, init_densify_state(n), opt_state, semantic_ids, info
 
 
+def zero_opacity_moments(opt_state):
+    """Zero the opacity_logits rows of every optimizer-moment tree.
+
+    Companion to `reset_opacity`: clamping the logits while Adam's first/
+    second moments for them survive lets accumulated momentum push opacities
+    straight back up after the reset — classic 3DGS zeroes the state too.
+    Traverses any optax state whose moment containers mirror the params dict.
+    """
+    def _is_params_dict(x):
+        return isinstance(x, dict) and "opacity_logits" in x
+
+    def _fix(node):
+        if _is_params_dict(node):
+            node = dict(node)
+            node["opacity_logits"] = jnp.zeros_like(node["opacity_logits"])
+        return node
+
+    return jax.tree_util.tree_map(_fix, opt_state, is_leaf=_is_params_dict)
+
+
 def reset_opacity(params: Dict[str, jnp.ndarray],
                   max_opacity: float = 0.01) -> Dict[str, jnp.ndarray]:
     """Classic periodic opacity clamp: cap every LIVE Gaussian's opacity so

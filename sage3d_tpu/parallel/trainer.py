@@ -195,7 +195,10 @@ def fit_scene_adaptive(
                 state = TrainState(new_params, opt_state, state.step)
             if adaptive.opacity_reset_every and \
                     (step + 1) % adaptive.opacity_reset_every == 0:
-                state = state._replace(params=reset_opacity(state.params))
+                from .densify import zero_opacity_moments
+                state = state._replace(
+                    params=reset_opacity(state.params),
+                    opt_state=zero_opacity_moments(state.opt_state))
             if (step + 1) % config.log_every == 0 or info is not None \
                     or step + 1 == config.steps:
                 mse = float(jax.device_get(loss))

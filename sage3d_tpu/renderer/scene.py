@@ -134,9 +134,17 @@ def load_ply(path, max_sh_degree: int = 3, semantic_ids=None) -> GaussianScene:
     # Auto-detect PlayCanvas compressed 3DGS ("3dgs_compressed.ply",
     # InteriorGS distribution format): route to the native bit-unpacking
     # decoder — no splat-transform step needed (README.md:194-243).
+    # Sniff the WHOLE header (up to end_header), not a fixed 4 KB prefix: a
+    # compressed file whose comments/extra properties push the token past 4 KB
+    # must not silently fall through to the uncompressed parser.
+    head = b""
     with open(path, "rb") as f:
-        head = f.read(4096)
-    if b"packed_position" in head:
+        while b"end_header" not in head and len(head) < (1 << 20):
+            chunk = f.read(8192)
+            if not chunk:
+                break
+            head += chunk
+    if b"packed_position" in head.split(b"end_header")[0]:
         from ..utils.plyio_native import load_compressed_ply
         scene = load_compressed_ply(path)
         if semantic_ids is not None:
