@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE_H, TILE_W, TileBins
 from .projection import ALPHA_MAX, ALPHA_MIN, ProjectedGaussians
+from .segreduce import segment_reduce_sorted
 
 CHUNK = 128          # Gaussians per chunk = block lane count
 NPIX = TILE_W * TILE_H  # 1024 pixels per tile = lane count of the alpha matrix
@@ -373,7 +374,8 @@ def _use_interpret() -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
-                        n_gauss: int, interpret: bool):
+                        n_gauss: int, interpret: bool,
+                        grad_sort_bf16: bool = False):
     """custom_vjp'd attrs->tiles compositor for a static shape config.
 
     fwd: one (N,16)->(P,16) row gather + block packing + the Pallas forward.
@@ -463,32 +465,23 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         p_grad = c_cap * CHUNK
         dcols = dslots.transpose(1, 0, 2).reshape(NFEAT, p_grad)
         ids = dcols[GID_COL].astype(jnp.int32)
+        # Sort cost scales with payload bytes (the dominant backward-glue
+        # line). grad_sort_bf16 halves them: per-row gradients quantize to
+        # bf16 (~0.4% relative) before the sort; segment accumulation stays
+        # f32 in the reduction kernel. Opt-in fast mode — the default keeps
+        # the f32 parity guarantee.
+        pdt = jnp.bfloat16 if grad_sort_bf16 else jnp.float32
         sorted_ = jax.lax.sort(
-            (ids,) + tuple(dcols[j] for j in range(NGRAD)),
+            (ids,) + tuple(dcols[j].astype(pdt) for j in range(NGRAD)),
             dimension=0, is_stable=False, num_keys=1)
-        gid_s = sorted_[0]
-        ct = jnp.stack(sorted_[1:], axis=1)           # (p_grad, NGRAD)
-        csum = jnp.cumsum(ct, axis=0)
-        change = gid_s[1:] != gid_s[:-1]
-        is_last = jnp.concatenate([change, jnp.array([True])])
-        ar = jnp.arange(p_grad, dtype=jnp.int32)
-        # ONE P-sized scatter (each costs ~7 ns/elem = ~35 ms at 5M): segment
-        # END positions per present Gaussian; absent ids are then forward-
-        # filled with cummax (N-sized, cheap), which makes every segment's
-        # START equal to the PREVIOUS Gaussian's end — so the "lo" scatter and
-        # its N-row gather disappear into a shift of the "hi" gather.
-        # Non-last rows scatter into DISTINCT dump slots (n_gauss + row) so
-        # the index vector is GENUINELY unique — a shared OOB sentinel would
-        # repeat, and unique_indices covers the whole array, duplicates-
-        # before-drop included (a false promise XLA may exploit).
-        idx = jnp.where(is_last, gid_s, n_gauss + ar)
-        hi = jnp.zeros((n_gauss + p_grad,), jnp.int32).at[idx].set(
-            ar + 1, unique_indices=True)[:n_gauss]
-        hi = jax.lax.cummax(hi)   # fill absent ids -> their segment is empty
-        zero_row = jnp.zeros((1, NGRAD), jnp.float32)
-        csum_ext = jnp.concatenate([zero_row, csum], axis=0)
-        ghi = csum_ext[hi]                            # (N, NGRAD)
-        dg = ghi - jnp.concatenate([zero_row, ghi[:-1]], axis=0)
+        if grad_sort_bf16:
+            sorted_ = (sorted_[0],) + tuple(
+                v.astype(jnp.float32) for v in sorted_[1:])
+        # Segment-sum of the now-contiguous per-Gaussian runs. Round 2 used a
+        # (P, 10) cumsum + one P-sized boundary scatter + cummax fill (~45 ms
+        # at 1080p/1M); the Pallas one-hot-matmul reduction does the same in
+        # one pass over the rows (ops/segreduce.py).
+        dg = segment_reduce_sorted(sorted_[0], sorted_[1:], n_gauss)
         d_attrs = jnp.concatenate(
             [dg, jnp.zeros((n_gauss, NFEAT - NGRAD), jnp.float32)], axis=1)
         return d_attrs, None, None, None, None
@@ -498,7 +491,8 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
-                                              "pair_capacity"))
+                                              "pair_capacity",
+                                              "grad_sort_bf16"))
 def composite_tiles_pallas(
     proj: ProjectedGaussians,
     semantic_ids: jnp.ndarray,
@@ -507,6 +501,7 @@ def composite_tiles_pallas(
     height: int,
     tile_capacity: int = 4096,
     pair_capacity: int = 0,
+    grad_sort_bf16: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Composite via the Pallas kernels. Same output schema as composite_tiles.
 
@@ -565,7 +560,7 @@ def composite_tiles_pallas(
     ], axis=1)                                                # (N, 16)
 
     flat = _get_attr_composite(n_tiles, tiles_x, n_blocks, c_cap, n,
-                               _use_interpret())
+                               _use_interpret(), grad_sort_bf16)
     out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0)
 
     imgs = out.transpose(0, 2, 1).reshape(tiles_y, tiles_x, TILE_H, TILE_W,
