@@ -39,11 +39,13 @@ N*K1 + M_BIG*K2, fixed at trace time.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from .projection import ProjectedGaussians
 
@@ -137,6 +139,101 @@ def _emit_block(x0, y0, nx, count, sel, mx, my, r2, tiles_x, n_tiles,
     return jnp.where(valid, ty * tiles_x + tx, n_tiles)
 
 
+EMIT_GB = 1024  # Gaussians per emission-kernel grid step (lane dim)
+
+
+def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
+                 tile_h: int, k_budget: int, attrs_ref, rank_ref, out_ref):
+    """Fused tile-id emission: rect walk + corner-circle cull + key build for
+    ``k_budget`` candidate tiles of EMIT_GB Gaussians, in one elementwise pass.
+
+    Same math as `_emit_block`, re-oriented (k on sublanes, Gaussians on
+    lanes). The XLA version materialized a dozen (N, k) intermediates and
+    measured ~35 ms at 1M/1080p (emit + keys + concat); here the only HBM
+    traffic is the 8-row attribute block in and the key block out.
+    ``mult`` > 0 emits fused int32 keys tid*mult+rank (INVALID_KEY when
+    culled); ``mult`` == 0 emits the tile id itself (n_tiles when culled) for
+    the two-key sort path, whose ranks ride a separate int32 operand upstream
+    (ranks can exceed 2^24, so they never pass through this kernel's f32s).
+    """
+    x0 = attrs_ref[0:1, :]
+    y0 = attrs_ref[1:2, :]
+    nx = attrs_ref[2:3, :]
+    count = attrs_ref[3:4, :]
+    mx = attrs_ref[4:5, :]
+    my = attrs_ref[5:6, :]
+    r2 = attrs_ref[6:7, :]
+
+    kf = (jax.lax.broadcasted_iota(jnp.int32, (k_budget, 1), 0)
+          .astype(jnp.float32))
+    nxs = jnp.maximum(nx, 1.0)   # padded rows carry nx=0 (and count=0)
+    inv = 1.0 / nxs
+    q = jnp.floor(kf * inv)                       # (k, GB)
+    r = kf - q * nxs
+    q = jnp.where(r < 0, q - 1.0, jnp.where(r >= nxs, q + 1.0, q))
+    r = kf - q * nxs
+    tx = x0 + r
+    ty = y0 + q
+    fx0 = tx * float(tile_w)
+    fy0 = ty * float(tile_h)
+    dx = jnp.maximum(jnp.maximum(fx0 - mx, mx - (fx0 + tile_w)), 0.0)
+    dy = jnp.maximum(jnp.maximum(fy0 - my, my - (fy0 + tile_h)), 0.0)
+    valid = (kf < count) & (dx * dx + dy * dy <= r2)
+    tid = (ty * float(tiles_x) + tx).astype(jnp.int32)
+    if mult:
+        rank = rank_ref[0:1, :]
+        key = tid * mult + rank
+        out_ref[...] = jnp.where(valid, key, INVALID_KEY)
+    else:
+        out_ref[...] = jnp.where(valid, tid, n_tiles)
+
+
+@functools.lru_cache(maxsize=64)
+def _get_emit_call(nb: int, gb: int, k_budget: int, tiles_x: int,
+                   n_tiles: int, mult: int, tile_w: int, tile_h: int,
+                   interpret: bool):
+    kernel = functools.partial(_emit_kernel, tiles_x, n_tiles, mult,
+                               tile_w, tile_h, k_budget)
+
+    def call(attrs, ranks):
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((8, gb), lambda b: (0, b)),
+                pl.BlockSpec((1, gb), lambda b: (0, b)),
+            ],
+            out_specs=pl.BlockSpec((k_budget, gb), lambda b: (0, b)),
+            out_shape=jax.ShapeDtypeStruct((k_budget, nb * gb), jnp.int32),
+            interpret=interpret,
+        )(attrs, ranks)
+
+    return call
+
+
+def _emit_fused(attrs, rank, tiles_x, n_tiles, tile_w: int, tile_h: int,
+                k_budget: int, mult: int):
+    """Pallas-fused `_emit_block`(+key build): returns (k_budget, N_pad)
+    int32 keys (mult>0) or tile ids (mult==0), k-major — pair order is
+    irrelevant pre-sort, so no transposes anywhere. The matching per-entry
+    Gaussian-id / rank arrays are plain XLA broadcasts of the same layout.
+
+    ``attrs``: (8, n) f32 rows [x0, y0, nx, count_eff, mx, my, r2, pad]
+    (see `_emit_attrs`); ``rank``: (n,) int32.
+    """
+    n = attrs.shape[1]
+    gb = min(EMIT_GB, max(128, n))
+    n_pad = -(-n // gb) * gb
+    attrs = jnp.pad(attrs, ((0, 0), (0, n_pad - n)))
+    ranks2 = jnp.pad(rank[None, :], ((0, 0), (0, n_pad - n)))
+    call = _get_emit_call(n_pad // gb, gb, k_budget, tiles_x, n_tiles, mult,
+                          tile_w, tile_h, jax.default_backend() != "tpu")
+    out = call(attrs, ranks2)                             # (k, n_pad)
+    return out, n_pad
+
+
+
+
 @partial(jax.jit, static_argnames=("width", "height", "pair_capacity",
                                    "max_tiles_per_gaussian", "tile_w", "tile_h",
                                    "k_small", "m_big", "k_big"))
@@ -180,43 +277,67 @@ def bin_gaussians(
         proj, tiles_x, tiles_y, tile_w, tile_h)
 
     small = count <= k_small
-    tid_small = _emit_block(x0, y0, nx, jnp.minimum(count, k_small),
-                            vis & small, mx, my, r2, tiles_x, n_tiles,
-                            tile_w, tile_h, k_small)
+    mult = (1 << rank_bits) if fused_ok else 0
 
     # Large spanners: top m_big by count (one more N-argsort), budget k_big.
     big_score = jnp.where(vis & ~small, count, -1)
     big_idx = jnp.argsort(-big_score)[:m_big]
     big_sel = big_score[big_idx] > 0
-    tid_big = _emit_block(
-        x0[big_idx], y0[big_idx], nx[big_idx],
-        jnp.minimum(count[big_idx], k_big), big_sel, mx[big_idx], my[big_idx],
-        r2[big_idx], tiles_x, n_tiles, tile_w, tile_h, k_big)
 
-    g_small = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                               (n, k_small))
-    g_big = jnp.broadcast_to(big_idx[:, None].astype(jnp.int32),
-                             (m_big, k_big))
-    rank_small = jnp.broadcast_to(rank[:, None], (n, k_small))
-    rank_big = jnp.broadcast_to(rank[big_idx][:, None], (m_big, k_big))
-    tids = jnp.concatenate([tid_small.reshape(-1), tid_big.reshape(-1)])
-    ranks = jnp.concatenate([rank_small.reshape(-1), rank_big.reshape(-1)])
+    # Emission + cull + key build fused in a Pallas kernel (k-major layout —
+    # pair order is irrelevant pre-sort). Outputs are fused keys (mult>0) or
+    # raw tile ids (two-key path); the per-entry Gaussian-id / rank operands
+    # are XLA broadcasts of the same (k, n_pad) layout. The big-spanner
+    # selection gathers ONE (n, 8) row table at big_idx (row gathers are
+    # ~10 ns/row) instead of 8+ separate 1-D gathers (~230 ns/element each);
+    # the int32 rank rides the f32 table bitcast (exact at any magnitude).
+    rows = jnp.stack([
+        x0.astype(jnp.float32), y0.astype(jnp.float32),
+        nx.astype(jnp.float32), count.astype(jnp.float32), mx, my, r2,
+        jax.lax.bitcast_convert_type(rank, jnp.float32)], axis=1)   # (n, 8)
+    attrs_small = jnp.transpose(rows, (1, 0))
+    attrs_small = attrs_small.at[3].set(jnp.where(
+        vis & small, jnp.minimum(count, k_small), 0).astype(jnp.float32))
+    attrs_big = jnp.transpose(rows[big_idx], (1, 0))                # (8, m)
+    count_big = attrs_big[3]    # exact: tile counts < 2^24
+    attrs_big = attrs_big.at[3].set(
+        jnp.where(big_sel, jnp.minimum(count_big, float(k_big)), 0.0))
+    rank_big = jax.lax.bitcast_convert_type(attrs_big[7], jnp.int32)
+    out_small, n_pad_s = _emit_fused(attrs_small, rank, tiles_x, n_tiles,
+                                     tile_w, tile_h, k_small, mult)
+    out_big, n_pad_b = _emit_fused(attrs_big, rank_big, tiles_x, n_tiles,
+                                   tile_w, tile_h, k_big, mult)
+
+    g_small = jnp.broadcast_to(
+        jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, n_pad_s - n))[None, :],
+        (k_small, n_pad_s))
+    g_big = jnp.broadcast_to(
+        jnp.pad(big_idx.astype(jnp.int32), (0, n_pad_b - m_big))[None, :],
+        (k_big, n_pad_b))
     gauss = jnp.concatenate([g_small.reshape(-1), g_big.reshape(-1)])
 
     # 3. One sort orders everything per-tile front-to-back.
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     if fused_ok:
-        mult = 1 << rank_bits
-        keys = jnp.where(tids < n_tiles, tids * mult + ranks, INVALID_KEY)
+        keys = jnp.concatenate([out_small.reshape(-1), out_big.reshape(-1)])
         keys_sorted, pair_gauss = jax.lax.sort(
             (keys, gauss), dimension=0, is_stable=False, num_keys=1)
-        tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
         bounds = jnp.searchsorted(keys_sorted, tile_ids * mult,
                                   side="left").astype(jnp.int32)
     else:
         # 4K+ path: two-key sort, no resolution cap from the fused key.
+        # Ranks can exceed 2^24, so they ride their own int32 broadcast and
+        # never pass through the kernel's f32 lanes.
+        tids = jnp.concatenate([out_small.reshape(-1), out_big.reshape(-1)])
+        rank_small = jnp.broadcast_to(
+            jnp.pad(rank, (0, n_pad_s - n))[None, :], (k_small, n_pad_s))
+        rank_big2 = jnp.broadcast_to(
+            jnp.pad(rank_big, (0, n_pad_b - m_big))[None, :],
+            (k_big, n_pad_b))
+        ranks = jnp.concatenate([rank_small.reshape(-1),
+                                 rank_big2.reshape(-1)])
         tids_sorted, _, pair_gauss = jax.lax.sort(
             (tids, ranks, gauss), dimension=0, is_stable=False, num_keys=2)
-        tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
         bounds = jnp.searchsorted(tids_sorted, tile_ids,
                                   side="left").astype(jnp.int32)
     tile_start = bounds[:-1]
