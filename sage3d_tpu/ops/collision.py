@@ -7,11 +7,15 @@ a triangle-mesh physics engine, collision geometry IS the Gaussian set: the agen
 capsule (vertical segment + radius, matching the reference's cylinder agent) is
 tested against every Gaussian's ellipsoid support directly.
 
-Formulated as dense linear algebra over Gaussian chunks so XLA keeps the MXU/VPU
-busy: the segment-to-center projection is one matmul over the chunk, everything
-else is elementwise. B queries x 1M Gaussians runs as a lax.scan over chunks
-with O(chunk) memory. Differentiable w.r.t. query positions (clearance gradients
-for planners).
+Formulated as pure CHANNEL math over (B, chunk) planes — x/y/z handled as
+separate arrays — because (B, C, 3) layouts pad their 3-wide minor dim to full
+128 TPU lanes (~40x wasted bandwidth) and tiny-K einsums cannot use the MXU
+anyway; this is the same lesson as the projection stage, where the batched
+(N, 3, 3) matmul form measured 5x slower than fused scalar channels
+(docs/PERF_NOTES.md cost model). XLA fuses the whole per-chunk chain into one
+VPU pass over (B, C) tiles. B queries x 1M Gaussians runs as a lax.scan over
+chunks with O(chunk) memory. Differentiable w.r.t. query positions (clearance
+gradients for planners).
 
 The boolean "collides" decision uses the Mahalanobis distance at the closest
 point of the capsule axis, thresholded at ``sigma_cut`` (default 2): a Gaussian
@@ -27,7 +31,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.projection import quat_to_rotmat
+from ..ops.projection import _rotmat_channels
 from ..renderer.scene import GaussianScene
 
 DEFAULT_OPACITY_THRESH = 0.5
@@ -84,26 +88,34 @@ def capsule_query(
     sem_c = sem.reshape(n_chunks, chunk)
 
     big = jnp.float32(1e9)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]               # (B, 1)
+    inv_dd = (1.0 / dd_safe)[:, None]
 
     def body(carry, inp):
         best_clear, best_id, hits = carry
         mu, q, ls, op, sm = inp
+        mux, muy, muz = mu[:, 0][None], mu[:, 1][None], mu[:, 2][None]
         # Closest point of each capsule axis to each Gaussian center:
-        # t* = clamp((mu - p0) . d / |d|^2, 0, 1) — the (B, chunk) dot is MXU.
-        rel0 = mu[None, :, :] - p0[:, None, :]                 # (B, C, 3)
-        t = jnp.einsum("bck,bk->bc", rel0, d,
-                       precision=jax.lax.Precision.HIGHEST) / dd_safe[:, None]
-        t = jnp.clip(t, 0.0, 1.0)
-        closest = p0[:, None, :] + t[..., None] * d[:, None, :]
-        diff = mu[None, :, :] - closest                        # (B, C, 3)
-        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-20)
+        # t* = clamp((mu - p0) . d / |d|^2, 0, 1); all planes are (B, C).
+        rx = mux - p0[:, 0:1]
+        ry = muy - p0[:, 1:2]
+        rz = muz - p0[:, 2:3]
+        t = jnp.clip((rx * dx + ry * dy + rz * dz) * inv_dd, 0.0, 1.0)
+        fx = rx - t * dx                                       # mu - closest
+        fy = ry - t * dy
+        fz = rz - t * dz
+        dist = jnp.sqrt(fx * fx + fy * fy + fz * fz + 1e-20)
 
-        # Mahalanobis distance of the closest point: |S^-1 R^T diff|.
-        R = quat_to_rotmat(q)                                  # (C, 3, 3)
-        local = jnp.einsum("cij,bci->bcj", R, diff,
-                           precision=jax.lax.Precision.HIGHEST)
+        # Mahalanobis distance of the closest point: |S^-1 R^T diff|, with the
+        # rotation as 9 scalar channels (R rows are (C,) coefficients).
+        R = _rotmat_channels(q)
         inv_s = jnp.exp(-ls)                                   # (C, 3)
-        maha = jnp.sqrt(jnp.sum((local * inv_s[None]) ** 2, axis=-1) + 1e-20)
+        m2 = None
+        for j in range(3):
+            loc_j = (R[0][j][None] * fx + R[1][j][None] * fy
+                     + R[2][j][None] * fz) * inv_s[:, j][None]
+            m2 = loc_j * loc_j if m2 is None else m2 + loc_j * loc_j
+        maha = jnp.sqrt(m2 + 1e-20)
 
         solid = op[None, :] >= opacity_thresh
         # Support radius along the contact direction: sigma_cut * dist / maha

@@ -165,3 +165,47 @@ def test_capsule_clearance_gradient():
 
     g = jax.grad(clearance_at)(jnp.float32(0.0))
     assert float(g) < 0  # moving toward the gaussian reduces clearance
+
+
+def test_capsule_query_matches_dense_reference():
+    """Channel-math kernel vs a straightforward dense NumPy evaluation."""
+    import numpy as np
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(500, seed=11)
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-2, 2, (7, 2)).astype(np.float32)
+    p0, p1, r = agent_capsule(jnp.asarray(xy))
+    out = capsule_query(scene, p0, p1, r, chunk=128)
+
+    mu = np.asarray(scene.means)
+    q = np.asarray(scene.quats)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1)], axis=1)       # (N, 3, 3)
+    inv_s = np.exp(-np.asarray(scene.log_scales))
+    op = np.asarray(scene.opacities)
+
+    a = np.asarray(p0)
+    b = np.asarray(p1)
+    d = b - a
+    dd = np.sum(d * d, axis=1, keepdims=True)
+    rel = mu[None] - a[:, None]                                 # (B, N, 3)
+    t = np.clip(np.einsum("bnk,bk->bn", rel, d) / dd, 0, 1)
+    diff = rel - t[..., None] * d[:, None]
+    dist = np.sqrt(np.sum(diff ** 2, -1) + 1e-20)
+    local = np.einsum("nij,bni->bnj", R, diff)
+    maha = np.sqrt(np.sum((local * inv_s[None]) ** 2, -1) + 1e-20)
+    solid = op[None] >= 0.5
+    support = 2.0 * dist / np.maximum(maha, 1e-6)
+    clear = np.where(solid, dist - support - float(r), 1e9)
+    want = clear.min(axis=1)
+
+    np.testing.assert_allclose(np.asarray(out["clearance"]), want,
+                               rtol=2e-4, atol=2e-4)
