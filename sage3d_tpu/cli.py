@@ -159,8 +159,10 @@ def cmd_serve_scripted(args) -> int:
 
 
 def cmd_serve_mllm(args) -> int:
-    from .serve.mllm_server import HFAdapter, MLLMServer
-    adapter = HFAdapter(args.model_id, device=args.device)
+    from .serve.mllm_server import MLLMServer, make_hf_adapter
+    adapter = make_hf_adapter(args.model_id,
+                              family=getattr(args, "family", ""),
+                              device=args.device)
     MLLMServer(adapter, port=args.port, verbose=True).serve_forever()
     return 0
 
@@ -437,6 +439,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("serve-mllm")
     p.add_argument("--model-id", required=True)
+    p.add_argument("--family", default="",
+                   help="qwen | llava | internvl (default: sniff model id)")
     p.add_argument("--port", type=int, default=54321)
     p.add_argument("--device", default="cpu")
     p.set_defaults(fn=cmd_serve_mllm)

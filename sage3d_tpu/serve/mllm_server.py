@@ -32,9 +32,13 @@ class VLNPromptTemplate:
         "MOVE_FORWARD, TURN_LEFT, TURN_RIGHT, STOP. Reply with the action only.")
 
     @classmethod
-    def build(cls, instruction: str) -> str:
-        return (f"{cls.SYSTEM}\n\nInstruction: {instruction}\n"
+    def user(cls, instruction: str) -> str:
+        return (f"Instruction: {instruction}\n"
                 f"Which action should the robot take next?")
+
+    @classmethod
+    def build(cls, instruction: str) -> str:
+        return f"{cls.SYSTEM}\n\n{cls.user(instruction)}"
 
 
 def extract_action(text: str) -> str:
@@ -186,6 +190,159 @@ class HFAdapter(MLLMAdapter):
                                 return_tensors="pt").to(self.device)
         out = self.model.generate(**inputs, max_new_tokens=self.max_new_tokens)
         return self.processor.batch_decode(out, skip_special_tokens=True)[-1]
+
+
+class QwenVLAdapter(MLLMAdapter):
+    """Qwen-VL prompt shape (reference QwenVLAdapter, mllm_server.py:125-213):
+    system + user CHAT messages through the processor's chat template, image
+    content slot inline in the user turn, processor(text=[..], images=[..],
+    padding=True), and decode of ONLY the newly generated ids (input trim).
+
+    ``model``/``processor`` may be injected (tests use fakes — no weights);
+    otherwise they load lazily from ``model_id``.
+    """
+
+    def __init__(self, model_id: str = "", device: str = "cpu",
+                 max_new_tokens: int = 64, model=None, processor=None):
+        if model is None or processor is None:
+            from transformers import AutoModelForVision2Seq, AutoProcessor
+            processor = AutoProcessor.from_pretrained(model_id,
+                                                      trust_remote_code=True)
+            model = AutoModelForVision2Seq.from_pretrained(
+                model_id, trust_remote_code=True).to(device)
+        self.model = model
+        self.processor = processor
+        self.max_new_tokens = max_new_tokens
+
+    def build_messages(self, image, instruction: str):
+        return [
+            {"role": "system", "content": VLNPromptTemplate.SYSTEM},
+            {"role": "user", "content": [
+                {"type": "image", "image": image},
+                {"type": "text", "text": VLNPromptTemplate.user(instruction)},
+            ]},
+        ]
+
+    def generate_response(self, images, instruction):
+        image = images[-1] if images else None
+        messages = self.build_messages(image, instruction)
+        text = self.processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+        inputs = self.processor(text=[text], images=[image],
+                                return_tensors="pt", padding=True)
+        device = getattr(self.model, "device", None)
+        if device is not None:
+            inputs = inputs.to(device)
+        out_ids = self.model.generate(**inputs,
+                                      max_new_tokens=self.max_new_tokens)
+        trimmed = [o[len(i):] for i, o in zip(inputs["input_ids"], out_ids)]
+        return self.processor.batch_decode(trimmed,
+                                           skip_special_tokens=True)[0]
+
+
+class LLaVAAdapter(MLLMAdapter):
+    """LLaVA conversation-template prompt shape (reference LLaVAAdapter,
+    mllm_server.py:216-283): the literal ``USER: <image>\\n...ASSISTANT:``
+    conversation string (LLaVA-1.5 was trained on this template, not on a
+    tokenizer chat template), raw processor call, decode past the input ids.
+    """
+
+    PROMPT_FMT = "USER: <image>\n{system}\n\n{user}\nASSISTANT:"
+
+    def __init__(self, model_id: str = "", device: str = "cpu",
+                 max_new_tokens: int = 64, model=None, processor=None):
+        if model is None or processor is None:
+            from transformers import AutoModelForVision2Seq, AutoProcessor
+            processor = AutoProcessor.from_pretrained(model_id,
+                                                      trust_remote_code=True)
+            model = AutoModelForVision2Seq.from_pretrained(
+                model_id, trust_remote_code=True).to(device)
+        self.model = model
+        self.processor = processor
+        self.max_new_tokens = max_new_tokens
+
+    def build_prompt(self, instruction: str) -> str:
+        return self.PROMPT_FMT.format(system=VLNPromptTemplate.SYSTEM,
+                                      user=VLNPromptTemplate.user(instruction))
+
+    def generate_response(self, images, instruction):
+        image = images[-1] if images else None
+        inputs = self.processor(text=self.build_prompt(instruction),
+                                images=image, return_tensors="pt")
+        device = getattr(self.model, "device", None)
+        if device is not None:
+            inputs = inputs.to(device)
+        out_ids = self.model.generate(**inputs,
+                                      max_new_tokens=self.max_new_tokens)
+        n_in = inputs["input_ids"].shape[1]
+        return self.processor.decode(out_ids[0][n_in:],
+                                     skip_special_tokens=True)
+
+
+class InternVLAdapter(MLLMAdapter):
+    """InternVL prompt shape (reference InternVLAdapter, mllm_server.py:
+    286-367): no processor — the model's own ``chat(tokenizer, pixel_values,
+    prompt, config)`` entry point, fed 448x448 ImageNet-normalized pixel
+    tensors built here (InternVL's dynamic-tiling preprocessing contract).
+    """
+
+    MEAN = (0.485, 0.456, 0.406)
+    STD = (0.229, 0.224, 0.225)
+    SIZE = 448
+
+    def __init__(self, model_id: str = "", device: str = "cpu",
+                 max_new_tokens: int = 32, model=None, tokenizer=None):
+        if model is None or tokenizer is None:
+            from transformers import AutoModel, AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(model_id,
+                                                      trust_remote_code=True)
+            model = AutoModel.from_pretrained(
+                model_id, trust_remote_code=True,
+                low_cpu_mem_usage=True).to(device)
+        self.model = model
+        self.tokenizer = tokenizer
+        self.max_new_tokens = max_new_tokens
+
+    def preprocess(self, image):
+        """PIL image -> (1, 3, 448, 448) ImageNet-normalized float tensor."""
+        import numpy as np
+        import torch
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        image = image.resize((self.SIZE, self.SIZE))
+        arr = np.asarray(image, dtype=np.float32) / 255.0        # (H, W, 3)
+        arr = (arr - np.asarray(self.MEAN, np.float32)) / np.asarray(
+            self.STD, np.float32)
+        return torch.from_numpy(arr.transpose(2, 0, 1))[None]
+
+    def generate_response(self, images, instruction):
+        pixel_values = self.preprocess(images[-1]) if images else None
+        if pixel_values is not None:
+            device = getattr(self.model, "device", None)
+            if device is not None:
+                pixel_values = pixel_values.to(device)
+        config = {"max_new_tokens": self.max_new_tokens,
+                  "pad_token_id": getattr(self.tokenizer, "eos_token_id",
+                                          None)}
+        return self.model.chat(self.tokenizer, pixel_values,
+                               VLNPromptTemplate.build(instruction), config)
+
+
+MODEL_ADAPTERS = {
+    "qwen": QwenVLAdapter,
+    "llava": LLaVAAdapter,
+    "internvl": InternVLAdapter,
+}
+
+
+def make_hf_adapter(model_id: str, family: str = "", **kw) -> MLLMAdapter:
+    """Pick the model-specific adapter by ``family`` or by model-id sniffing;
+    unknown families fall back to the generic HFAdapter."""
+    fam = (family or model_id).lower()
+    for key, cls in MODEL_ADAPTERS.items():
+        if key in fam:
+            return cls(model_id=model_id, **kw)
+    return HFAdapter(model_id, **kw)
 
 
 class MLLMServer:
