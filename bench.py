@@ -43,10 +43,14 @@ WIDTH, HEIGHT = 1920, 1080
 N_GAUSS = 1_000_000
 
 
-def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
-    """InteriorGS-scale synthetic room, generated on device."""
+def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0,
+                            sh_degree: int = 0):
+    """InteriorGS-scale synthetic room, generated on device.
+
+    ``sh_degree=3`` gives the 48-floats-per-Gaussian attribute table real
+    InteriorGS scenes carry (16 SH coefficients x 3 channels)."""
     from sage3d_tpu.renderer.scene import GaussianScene
-    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
     means = jax.random.uniform(ks[0], (n, 3), jnp.float32,
                                jnp.array([-5.0, -4.0, 0.0], jnp.float32),
                                jnp.array([5.0, 4.0, 3.0], jnp.float32))
@@ -55,8 +59,12 @@ def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0):
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
     op = jax.random.uniform(ks[3], (n,), jnp.float32, 0.2, 0.9)
     col = jax.random.uniform(ks[4], (n, 3), jnp.float32)
-    sh = jnp.zeros((n, 1, 3), jnp.float32).at[:, 0, :].set(
+    k = (sh_degree + 1) ** 2
+    sh = jnp.zeros((n, k, 3), jnp.float32).at[:, 0, :].set(
         (col - 0.5) / 0.28209479177387814)
+    if k > 1:
+        sh = sh.at[:, 1:, :].set(
+            0.1 * jax.random.normal(ks[6], (n, k - 1, 3), jnp.float32))
     sem = jax.random.randint(ks[5], (n,), 0, 200, jnp.int32)
     return GaussianScene(means=means, log_scales=jnp.log(scales), quats=q,
                          opacity_logits=jnp.log(op / (1 - op)), sh=sh,
@@ -200,6 +208,42 @@ def main():
     parity_1080 = parity_check(scene, camera, budgets)
     _log(f"parity 1080p: {parity_1080}")
 
+    # SH3 config: the true InteriorGS attribute bandwidth (48 floats/Gaussian
+    # view-dependent color, VERDICT r2 #2). Grads flow to ALL 16 SH bands.
+    from sage3d_tpu.renderer.render import render as _render
+    scene_sh3 = make_bench_scene_device(sh_degree=3)
+    budgets_sh3 = autotune(scene_sh3, camera)
+
+    def sh3_loss(params, s, c):
+        s = s._replace(sh=params["sh"],
+                       opacity_logits=params["opacity_logits"] + c * 0)
+        out = _render(s, camera, backend="pallas",
+                      pair_capacity=budgets_sh3["pair_capacity"],
+                      tile_capacity=budgets_sh3["tile_capacity"],
+                      k_small=budgets_sh3["k_small"],
+                      m_big=budgets_sh3["m_big"],
+                      k_big=budgets_sh3["k_big"])
+        return jnp.sum(out["rgb"] ** 2) * 1e-9
+
+    sh3_grad = jax.grad(sh3_loss)
+
+    @jax.jit
+    def sh3_loop(s, c):
+        def body(i, c):
+            g = sh3_grad({"sh": s.sh, "opacity_logits": s.opacity_logits},
+                         s, c)
+            return c + g["opacity_logits"][0] + jnp.sum(g["sh"][0]) * 1e-6
+        return jax.lax.fori_loop(0, 12, body, c)
+
+    t0 = time.time()
+    float(jax.device_get(sh3_loop(scene_sh3, jnp.float32(0.0))))
+    t0 = time.time()
+    float(jax.device_get(sh3_loop(scene_sh3, jnp.float32(0.0))))
+    sh3_dt = (time.time() - t0) / 12
+    sh3_mpix = WIDTH * HEIGHT / sh3_dt / 1e6
+    _log(f"pallas SH3 (grads to all 16 bands): {sh3_dt:.4f}s/step "
+         f"({sh3_mpix:.2f} Mpix/s)")
+
     result = {
         "metric": "mpix_per_s_fwd_bwd_1080p_1m_gauss",
         "value": round(pallas_mpix, 2),
@@ -211,6 +255,9 @@ def main():
             "xla_mpix_per_s": round(xla_mpix, 2),
             "overflow_pairs": parity_1080["overflow_pallas"],
             "autotuned_budgets": budgets,
+            "sh3_step_s": round(sh3_dt, 4),
+            "sh3_mpix_per_s": round(sh3_mpix, 2),
+            "sh3_budgets": budgets_sh3,
             "n_gaussians": N_GAUSS,
             "device": str(jax.devices()[0]),
             "PARITY": {"800x800": parity_800, "1080p": parity_1080},

@@ -121,6 +121,27 @@ int sage3d_decode_compressed_ply(
   return 0;
 }
 
+// Decode the optional compressed SH element: N rows of `n_rest` uint8
+// properties f_rest_0..f_rest_{n_rest-1} (channel-major like uncompressed
+// PLY: the first n_rest/3 belong to R, then G, then B). Dequantization is
+// the PlayCanvas/SuperSplat convention: byte -> (b / 255) * 8 - 4, the
+// uniform [-4, 4) range splat-transform writes. NOTE: this follows the
+// public compressed-ply spec; verify against a real InteriorGS
+// 3dgs_compressed.ply carrying SH when one is available (SURVEY §2.2).
+int sage3d_decode_sh_bands(
+    const uint8_t* rest, int64_t n, int n_rest, float* out) {
+  const float scale = 8.f / 255.f;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* row = rest + i * n_rest;
+    float* orow = out + i * n_rest;
+    for (int j = 0; j < n_rest; ++j) {
+      orow[j] = static_cast<float>(row[j]) * scale - 4.f;
+    }
+  }
+  return 0;
+}
+
 // Fast strided extraction of named float32 properties from an uncompressed
 // binary-little-endian PLY vertex blob (the hot part of loading 1M-Gaussian
 // scenes): gathers `n_props` interleaved columns into contiguous outputs.

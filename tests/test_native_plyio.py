@@ -59,7 +59,7 @@ def test_native_matches_python(with_color):
     np.testing.assert_allclose(norms, 1.0, atol=1e-2)
 
 
-def write_compressed_ply(path, chunk, packed):
+def write_compressed_ply(path, chunk, packed, sh_rest=None):
     n_chunks, cf = chunk.shape
     n = packed.shape[0]
     chunk_names = ["min_x", "min_y", "min_z", "max_x", "max_y", "max_z",
@@ -75,9 +75,15 @@ def write_compressed_ply(path, chunk, packed):
         for nm in ("packed_position", "packed_rotation", "packed_scale",
                    "packed_color"):
             f.write(f"property uint {nm}\n".encode())
+        if sh_rest is not None:
+            f.write(f"element sh {n}\n".encode())
+            for j in range(sh_rest.shape[1]):
+                f.write(f"property uchar f_rest_{j}\n".encode())
         f.write(b"end_header\n")
         f.write(np.ascontiguousarray(chunk, np.float32).tobytes())
         f.write(np.ascontiguousarray(packed, np.uint32).tobytes())
+        if sh_rest is not None:
+            f.write(np.ascontiguousarray(sh_rest, np.uint8).tobytes())
 
 
 def test_load_compressed_ply_file(tmp_path):
@@ -112,3 +118,42 @@ def test_extract_columns_native():
     for i, off in enumerate([0, 8, 20]):
         expected = ref[:, off:off + 4].copy().view(np.float32).ravel()
         np.testing.assert_array_equal(out[i], expected)
+
+
+def test_decode_sh_bands_native_matches_python():
+    rng = np.random.default_rng(4)
+    rest = rng.integers(0, 256, (777, 45), dtype=np.uint8)
+    a = pn.decode_sh_bands(rest, use_native=True)
+    b = pn.decode_sh_bands(rest, use_native=False)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    # dequantization range and endpoints: 0 -> -4, 255 -> +4
+    assert a.min() >= -4.0 - 1e-5 and a.max() <= 4.0 + 1e-5
+    np.testing.assert_allclose(
+        pn.decode_sh_bands(np.array([[0, 255]], np.uint8))[0], [-4.0, 4.0],
+        atol=1e-6)
+
+
+def test_load_compressed_ply_with_sh_element(tmp_path):
+    """SH3 compressed file: 45 uint8 f_rest columns -> (n, 16, 3) sh."""
+    chunk, packed = make_compressed_arrays(n=512)
+    rng = np.random.default_rng(7)
+    rest = rng.integers(0, 256, (512, 45), dtype=np.uint8)
+    p = tmp_path / "scene_sh3_compressed.ply"
+    write_compressed_ply(p, chunk, packed, sh_rest=rest)
+    scene = pn.load_compressed_ply(p)
+    assert scene.sh.shape == (512, 16, 3)
+    assert scene.sh_degree == 3
+    # channel-major layout: f_rest_0..14 are the RED band coefficients
+    want_red_band0 = rest[:, 0].astype(np.float32) * (8.0 / 255.0) - 4.0
+    np.testing.assert_allclose(np.asarray(scene.sh[:, 1, 0]), want_red_band0,
+                               atol=1e-6)
+    want_green_band0 = rest[:, 15].astype(np.float32) * (8.0 / 255.0) - 4.0
+    np.testing.assert_allclose(np.asarray(scene.sh[:, 1, 1]),
+                               want_green_band0, atol=1e-6)
+    # and it renders with view-dependent color
+    from sage3d_tpu.renderer.camera import make_camera
+    from sage3d_tpu.renderer.render import render
+    cam = make_camera(position=[0, -8, 1], forward=[0, 1, 0], width=32,
+                      height=32)
+    out = render(scene, cam, backend="xla")
+    assert np.isfinite(np.asarray(out["rgb"])).all()
