@@ -133,6 +133,7 @@ def make_train_step(
     tile_axis: str = "tile",
     backend: str = "xla",
     grad_buckets: int = 4,
+    force_shard_map: bool = False,
     **render_kw,
 ):
     """Build the jitted sharded train step.
@@ -176,7 +177,10 @@ def make_train_step(
         total = jnp.sum(jax.vmap(one)(cams, targets))
         return total[None, None]
 
-    if mesh.size > 1:
+    # force_shard_map keeps the wrapper on a trivial mesh — used to MEASURE
+    # the wrapper's single-chip overhead (the audit's sharded-vs-direct row);
+    # production single-chip training wants the direct path below.
+    if mesh.size > 1 or force_shard_map:
         @partial(shard_map, mesh=mesh,
                  in_specs=(params_spec, cam_spec, target_spec),
                  out_specs=P(data_axis, tile_axis), check_vma=False)
@@ -231,6 +235,31 @@ def make_train_step(
 
     train_step.adc = train_step_adc
     return train_step, optimizer
+
+
+def make_chained_adc_steps(train_step, n_inner: int):
+    """Chained variant of ``train_step.adc``: ``n_inner`` steps in ONE jitted
+    scan, returning the SUMMED per-Gaussian positional-gradient norms so
+    adaptive density control can run at its natural cadence (densify_every)
+    with one device dispatch per round instead of one per step — on
+    high-latency tunneled devices per-call dispatch dominates otherwise.
+
+    Returns run(state, cams, targets) -> (state, gnorm_sum, last_loss).
+    """
+    @jax.jit
+    def run(state: TrainState, cam_batch, targets):
+        n = state.params["means"].shape[0]
+
+        def body(carry, _):
+            st, acc = carry
+            st, loss, gnorm = train_step.adc(st, cam_batch, targets)
+            return (st, acc + gnorm), loss
+
+        (st, acc), losses = jax.lax.scan(
+            body, (state, jnp.zeros((n,), jnp.float32)), None,
+            length=n_inner)
+        return st, acc, losses[-1]
+    return run
 
 
 def make_chained_steps(train_step, n_inner: int):

@@ -185,3 +185,24 @@ def test_global_batch_from_local_single_host():
     assert arr.shape == (16, 3)
     np.testing.assert_array_equal(np.asarray(arr), local)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_hlo_collective_audit():
+    """Structural multi-chip evidence (VERDICT r2 #5): the compiled sharded
+    step must contain the bucketed all-gathers + reduce-scatter transposes it
+    claims, and every parameter leaf must be genuinely sharded."""
+    from sage3d_tpu.parallel.audit import audit_sharded_step
+    from sage3d_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 4))
+    audit = audit_sharded_step(mesh, grad_buckets=4)
+    w = audit["written_collectives"]
+    # 4 buckets x 5 trainable params, written before any combiner runs
+    assert w["all_gather"] >= 20
+    assert w["reduce_scatter"] >= 20
+    assert audit["optimized_all_gather"]["count"] >= 1
+    assert (audit["optimized_reduce_scatter"]["count"]
+            + audit["optimized_all_reduce"]["count"]) >= 1
+    for k, rec in audit["param_shards"].items():
+        assert rec["shard_rows"] * rec["n_tile"] == rec["total_rows"], k
+    assert audit["comm_model"]["wire_bytes_per_step_per_device"] > 0
