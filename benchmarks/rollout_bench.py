@@ -103,6 +103,40 @@ def main():
     s640, _ = measure(run_640)
     steps_640_per_s = 20 / s640
 
+    # LOD tier: policy frames render an importance subset (collision still
+    # queries the full 1M scene) — the round-3 answer to "batch 8 is 1.31x":
+    # per-env cost at 160x128 was dominated by full-scene projection/binning.
+    from sage3d_tpu.renderer.scene import importance_subset
+    lod = jax.block_until_ready(importance_subset(scene, 131072))
+    from sage3d_tpu.renderer.render import autotune_budgets
+    cam_l = agent_camera((0.0, -6.0), yaw=1.57, width=160, height=128)
+    bl = autotune_budgets(lod, cam_l)
+    budgets_lod = dict(pair_capacity=bl["pair_capacity"],
+                       k_small=bl["k_small"], m_big=bl["m_big"],
+                       k_big=bl["k_big"])
+
+    def run_single_lod():
+        out = rollout(scene, grid, start_xy=jnp.asarray([0.0, -6.0]),
+                      start_yaw=jnp.float32(1.57),
+                      goal_xy=jnp.asarray([3.0, 3.0]), n_steps=n_steps,
+                      width=160, height=128, backend="pallas",
+                      tile_capacity=2048, use_capsule=True,
+                      render_scene=lod, **budgets_lod)
+        return out["goal_distance"][-1] + out["min_clearance"][-1] * 0
+
+    lod_s, _ = measure(run_single_lod)
+    lod_steps_per_s = n_steps / lod_s
+
+    def run_batch_lod():
+        out = rollout_batch(scene, grid, starts, yaws, goals, n_steps=n_steps,
+                            width=160, height=128, backend="pallas",
+                            tile_capacity=2048, use_capsule=True,
+                            render_scene=lod, **budgets_lod)
+        return jnp.sum(out["goal_distance"][:, -1])
+
+    batch_lod_s, _ = measure(run_batch_lod)
+    batch_lod_steps_per_s = B * n_steps / batch_lod_s
+
     # standalone capsule-query throughput: B capsules x 1M Gaussians
     b = 256
     xy = jax.random.uniform(jax.random.PRNGKey(1), (b, 2), jnp.float32, -5, 5)
@@ -128,6 +162,10 @@ def main():
         "env_steps_per_s_160x128": round(steps_per_s, 2),
         "batch8_env_steps_per_s_160x128": round(batch_steps_per_s, 2),
         "env_steps_per_s_640x480": round(steps_640_per_s, 2),
+        "lod131k_env_steps_per_s_160x128": round(lod_steps_per_s, 2),
+        "lod131k_batch8_env_steps_per_s_160x128": round(
+            batch_lod_steps_per_s, 2),
+        "budgets_lod_160x128": budgets_lod,
         "rollout_compile_s": round(compile_s, 1),
         "batch_compile_s": round(batch_compile_s, 1),
         "budgets_160x128": budgets160,

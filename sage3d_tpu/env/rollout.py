@@ -75,7 +75,13 @@ def _rollout_impl(
     k_small: int = 16,
     m_big: int = 8192,
     k_big: int = 256,
+    render_scene: GaussianScene | None = None,
 ) -> Dict[str, jnp.ndarray]:
+    # Policy frames may render a reduced scene (renderer.scene.
+    # importance_subset LOD — small frames don't resolve 1M splats anyway)
+    # while collision queries ALWAYS run against the full geometry.
+    if render_scene is None:
+        render_scene = scene
     goal_xy = jnp.asarray(goal_xy, jnp.float32)
     state0 = init_agent(jnp.concatenate([jnp.asarray(start_xy, jnp.float32),
                                          jnp.asarray([0.5], jnp.float32)]),
@@ -84,7 +90,7 @@ def _rollout_impl(
     def step(state: AgentState, _):
         cam = agent_camera_jnp(state.pos[:2], state.yaw, width=width,
                                height=height)
-        out = render(scene, cam, backend=backend,
+        out = render(render_scene, cam, backend=backend,
                      pair_capacity=pair_capacity, tile_capacity=tile_capacity,
                      k_small=k_small, m_big=m_big, k_big=k_big)
         vx, yaw_rate = depth_seek_policy(out["depth"], state.pos[:2],
@@ -132,7 +138,7 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                   backend: str = "xla", pair_capacity: int = 1 << 20,
                   tile_capacity: int = 1024, use_capsule: bool = True,
                   duration_s: float = 1.0, k_small: int = 16,
-                  m_big: int = 8192, k_big: int = 256):
+                  m_big: int = 8192, k_big: int = 256, render_scene=None):
     """vmap-batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
     ONE device program — B environments advance in lockstep, the standard RL
     env-throughput pattern (aggregate env-steps/s = B * n_steps / wall).
@@ -144,7 +150,8 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                              pair_capacity=pair_capacity,
                              tile_capacity=tile_capacity,
                              use_capsule=use_capsule, duration_s=duration_s,
-                             k_small=k_small, m_big=m_big, k_big=k_big)
+                             k_small=k_small, m_big=m_big, k_big=k_big,
+                             render_scene=render_scene)
     return jax.vmap(fn)(jnp.asarray(start_xy, jnp.float32),
                         jnp.asarray(start_yaw, jnp.float32),
                         jnp.asarray(goal_xy, jnp.float32))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import NamedTuple, Optional
 
@@ -97,6 +98,35 @@ _PLY_DTYPES = {
     "uchar": np.uint8, "uint8": np.uint8, "int": np.int32, "uint": np.uint32,
     "short": np.int16, "ushort": np.uint16, "char": np.int8,
 }
+
+
+@partial(jax.jit, static_argnames=("max_gaussians",))
+def importance_subset(scene: GaussianScene,
+                      max_gaussians: int) -> GaussianScene:
+    """Top-``max_gaussians`` importance LOD of a scene.
+
+    Importance = opacity x ellipsoid surface area (the screen coverage a
+    splat can produce): the standard visual-impact ranking for 3DGS level-of-
+    detail. Used by the rollout path to render small POLICY frames (160x128)
+    without paying full-scene projection/binning per env-step — collision
+    queries keep using the FULL scene (geometry must not thin out). One jit
+    per (scene-size, K); run once per scene, reused across the episode.
+    """
+    n = scene.num_gaussians
+    k = min(max_gaussians, n)
+    s = jnp.exp(scene.log_scales)
+    area = s[:, 0] * s[:, 1] + s[:, 0] * s[:, 2] + s[:, 1] * s[:, 2]
+    score = jax.nn.sigmoid(scene.opacity_logits) * area
+    idx = jnp.argsort(-score)[:k]
+    # one row-gather per field (row gathers are cheap; 1-D gathers are not)
+    return GaussianScene(
+        means=scene.means[idx],
+        log_scales=scene.log_scales[idx],
+        quats=scene.quats[idx],
+        opacity_logits=scene.opacity_logits[idx],
+        sh=scene.sh[idx],
+        semantic_ids=scene.semantic_ids[idx],
+    )
 
 
 def _parse_ply_header(f):

@@ -56,3 +56,34 @@ def test_rollout_batch_matches_single():
     np.testing.assert_allclose(np.asarray(batched["positions"][0]),
                                np.asarray(single0["positions"]), atol=1e-5)
     assert batched["goal_distance"].shape == (2, 5)
+
+
+def test_rollout_with_lod_render_scene():
+    """Policy frames from an importance-LOD subset; collision vs full scene."""
+    import jax.numpy as jnp
+
+    from sage3d_tpu.renderer.scene import importance_subset, synthetic_room
+
+    scene = synthetic_room(800, seed=5)
+    lod = importance_subset(scene, 256)
+    assert lod.num_gaussians == 256
+    # top-importance invariant: every kept score >= every dropped score
+    import numpy as np
+    s = np.exp(np.asarray(scene.log_scales))
+    area = s[:, 0] * s[:, 1] + s[:, 0] * s[:, 2] + s[:, 1] * s[:, 2]
+    score = np.asarray(scene.opacities) * area
+    kept = np.sort(score)[-256:]
+    assert np.min(kept) >= np.sort(score)[-257]
+
+    obstacle = np.zeros((200, 200), np.uint8)
+    obstacle[:2, :] = 1
+    obstacle[-2:, :] = 1
+    obstacle[:, :2] = 1
+    obstacle[:, -2:] = 1
+    grid = grid_from_mask(obstacle, bounds=[-5.0, 5.0, -5.0, 5.0])
+    out = rollout(scene, grid, start_xy=jnp.asarray([0.0, 0.0]),
+                  start_yaw=jnp.float32(0.0), goal_xy=jnp.asarray([2.0, 0.0]),
+                  n_steps=4, width=64, height=64, backend="xla",
+                  pair_capacity=1 << 14, tile_capacity=256, render_scene=lod)
+    assert out["positions"].shape == (4, 3)
+    assert bool(jnp.all(jnp.isfinite(out["min_clearance"])))
