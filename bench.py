@@ -74,10 +74,13 @@ def make_bench_scene_device(n: int = N_GAUSS, seed: int = 0,
 def autotune(scene, camera):
     """Overflow-free budgets + tile capacity (renderer.render.autotune_all):
     the measured run drops ZERO pairs anywhere in the pipeline (VERDICT r1 #1:
-    throughput on a truncated workload must not be the headline)."""
+    throughput on a truncated workload must not be the headline).
+    pair_margin=1.05: scene and camera are FIXED here, so the capacity is
+    tightened to the measured post-ellipse-cull pair count + 5% — overflow
+    stays 0 (asserted in the parity block) while every P-sized stage shrinks."""
     from sage3d_tpu.renderer.render import autotune_all
 
-    return autotune_all(scene, camera)
+    return autotune_all(scene, camera, pair_margin=1.05)
 
 
 def bench_backend(scene, camera, backend: str, budgets, iters: int = 12):

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .projection import ProjectedGaussians
+from .projection import ALPHA_MIN, ProjectedGaussians
 
 TILE_W = 32  # 32x32-pixel tiles = 1024 px: reshapes to the VPU-native (8, 128)
 TILE_H = 32
@@ -140,17 +140,35 @@ def _emit_block(x0, y0, nx, count, sel, mx, my, r2, tiles_x, n_tiles,
 
 
 EMIT_GB = 1024  # Gaussians per emission-kernel grid step (lane dim)
+ATTR_ROWS = 16  # emission attr table rows (2 f32 sublane tiles):
+                # [x0, y0, nx, count_eff, mx, my, cut2, rank(bitcast),
+                #  conic_a, conic_b, conic_c, 5 x pad]
 
 
 def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
                  tile_h: int, k_budget: int, attrs_ref, rank_ref, out_ref):
-    """Fused tile-id emission: rect walk + corner-circle cull + key build for
-    ``k_budget`` candidate tiles of EMIT_GB Gaussians, in one elementwise pass.
+    """Fused tile-id emission: rect walk + exact ellipse-tile cull + key build
+    for ``k_budget`` candidate tiles of EMIT_GB Gaussians, one elementwise pass.
 
-    Same math as `_emit_block`, re-oriented (k on sublanes, Gaussians on
+    Same rect walk as `_emit_block`, re-oriented (k on sublanes, Gaussians on
     lanes). The XLA version materialized a dozen (N, k) intermediates and
     measured ~35 ms at 1M/1080p (emit + keys + concat); here the only HBM
-    traffic is the 8-row attribute block in and the key block out.
+    traffic is the attribute block in and the key block out.
+
+    The cull is EXACT, not a bounding circle: a candidate tile survives iff
+    the minimum of the Mahalanobis quadratic m2(p) = a dx^2 + 2b dx dy + c dy^2
+    over the tile's pixel rect is <= cut2 = 2 ln(op / ALPHA_MIN) — i.e. iff
+    SOME point of the tile could receive alpha >= ALPHA_MIN (which the
+    compositors zero out, projection.py:196 / composite_pallas.py:112, so a
+    culled pair contributes exactly nothing and parity is bit-safe). The min
+    of the convex quadratic over the rect is 0 when the mean lies inside,
+    else it lies on the boundary: each of the 4 edges restricts m2 to a 1-D
+    convex quadratic whose clamped vertex evaluates in closed form. For
+    anisotropic splats the bounding-circle test kept the whole AABB; this
+    keeps only tiles the cutoff ELLIPSE actually reaches, shrinking every
+    downstream P-proportional stage (sort, feature gather, fwd/bwd kernels,
+    gradient reduction).
+
     ``mult`` > 0 emits fused int32 keys tid*mult+rank (INVALID_KEY when
     culled); ``mult`` == 0 emits the tile id itself (n_tiles when culled) for
     the two-key sort path, whose ranks ride a separate int32 operand upstream
@@ -162,7 +180,10 @@ def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
     count = attrs_ref[3:4, :]
     mx = attrs_ref[4:5, :]
     my = attrs_ref[5:6, :]
-    r2 = attrs_ref[6:7, :]
+    cut2 = attrs_ref[6:7, :]
+    ca = attrs_ref[8:9, :]
+    cb = attrs_ref[9:10, :]
+    cc = attrs_ref[10:11, :]
 
     kf = (jax.lax.broadcasted_iota(jnp.int32, (k_budget, 1), 0)
           .astype(jnp.float32))
@@ -176,9 +197,29 @@ def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
     ty = y0 + q
     fx0 = tx * float(tile_w)
     fy0 = ty * float(tile_h)
-    dx = jnp.maximum(jnp.maximum(fx0 - mx, mx - (fx0 + tile_w)), 0.0)
-    dy = jnp.maximum(jnp.maximum(fy0 - my, my - (fy0 + tile_h)), 0.0)
-    valid = (kf < count) & (dx * dx + dy * dy <= r2)
+    # Tile pixel rect relative to the mean: x' in [x_lo, x_hi], y' likewise.
+    x_lo = fx0 - mx
+    x_hi = x_lo + float(tile_w)
+    y_lo = fy0 - my
+    y_hi = y_lo + float(tile_h)
+    inside = (x_lo <= 0.0) & (x_hi >= 0.0) & (y_lo <= 0.0) & (y_hi >= 0.0)
+    inv_a = 1.0 / jnp.maximum(ca, 1e-20)   # conic is PD (cov dilation), but
+    inv_c = 1.0 / jnp.maximum(cc, 1e-20)   # padded rows carry zeros
+
+    def vedge(xe):   # min over y' in [y_lo, y_hi] at fixed x' = xe
+        t = jnp.clip(-cb * xe * inv_c, y_lo, y_hi)
+        return (ca * xe) * xe + (2.0 * cb * xe + cc * t) * t
+
+    def hedge(ye):   # min over x' in [x_lo, x_hi] at fixed y' = ye
+        t = jnp.clip(-cb * ye * inv_a, x_lo, x_hi)
+        return (cc * ye) * ye + (2.0 * cb * ye + ca * t) * t
+
+    m2 = jnp.minimum(jnp.minimum(vedge(x_lo), vedge(x_hi)),
+                     jnp.minimum(hedge(y_lo), hedge(y_hi)))
+    m2 = jnp.where(inside, 0.0, m2)
+    # 1e-3 relative+absolute margin >> f32 rounding of this ~10-op chain:
+    # over-keeps a hair's width of tiles, never drops a contributing pair.
+    valid = (kf < count) & (m2 <= cut2 * 1.001 + 1e-3)
     tid = (ty * float(tiles_x) + tx).astype(jnp.int32)
     if mult:
         rank = rank_ref[0:1, :]
@@ -200,7 +241,7 @@ def _get_emit_call(nb: int, gb: int, k_budget: int, tiles_x: int,
             kernel,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((8, gb), lambda b: (0, b)),
+                pl.BlockSpec((ATTR_ROWS, gb), lambda b: (0, b)),
                 pl.BlockSpec((1, gb), lambda b: (0, b)),
             ],
             out_specs=pl.BlockSpec((k_budget, gb), lambda b: (0, b)),
@@ -218,8 +259,8 @@ def _emit_fused(attrs, rank, tiles_x, n_tiles, tile_w: int, tile_h: int,
     irrelevant pre-sort, so no transposes anywhere. The matching per-entry
     Gaussian-id / rank arrays are plain XLA broadcasts of the same layout.
 
-    ``attrs``: (8, n) f32 rows [x0, y0, nx, count_eff, mx, my, r2, pad]
-    (see `_emit_attrs`); ``rank``: (n,) int32.
+    ``attrs``: (ATTR_ROWS, n) f32 rows (layout at ATTR_ROWS above);
+    ``rank``: (n,) int32.
     """
     n = attrs.shape[1]
     gb = min(EMIT_GB, max(128, n))
@@ -273,7 +314,7 @@ def bin_gaussians(
     rank = jnp.argsort(order).astype(jnp.int32)
 
     # 2. Tile rect per Gaussian (tight AABB + circle cull).
-    vis, x0, y0, nx, count, mx, my, r2 = _tile_rect(
+    vis, x0, y0, nx, count, mx, my, _ = _tile_rect(
         proj, tiles_x, tiles_y, tile_w, tile_h)
 
     small = count <= k_small
@@ -288,17 +329,26 @@ def bin_gaussians(
     # pair order is irrelevant pre-sort). Outputs are fused keys (mult>0) or
     # raw tile ids (two-key path); the per-entry Gaussian-id / rank operands
     # are XLA broadcasts of the same (k, n_pad) layout. The big-spanner
-    # selection gathers ONE (n, 8) row table at big_idx (row gathers are
-    # ~10 ns/row) instead of 8+ separate 1-D gathers (~230 ns/element each);
-    # the int32 rank rides the f32 table bitcast (exact at any magnitude).
+    # selection gathers ONE (n, ATTR_ROWS) row table at big_idx (row gathers
+    # are ~10 ns/row) instead of 10+ separate 1-D gathers (~230 ns/element
+    # each); the int32 rank rides the f32 table bitcast (exact at any
+    # magnitude). cut2 is the opacity-aware alpha cutoff the exact ellipse
+    # cull tests against (projection.py:150).
+    cut2 = 2.0 * jnp.log(
+        jnp.maximum(jax.lax.stop_gradient(proj.opacities), ALPHA_MIN)
+        / ALPHA_MIN)
+    conics = jax.lax.stop_gradient(proj.conics)   # indices carry no gradient
     rows = jnp.stack([
         x0.astype(jnp.float32), y0.astype(jnp.float32),
-        nx.astype(jnp.float32), count.astype(jnp.float32), mx, my, r2,
-        jax.lax.bitcast_convert_type(rank, jnp.float32)], axis=1)   # (n, 8)
+        nx.astype(jnp.float32), count.astype(jnp.float32), mx, my, cut2,
+        jax.lax.bitcast_convert_type(rank, jnp.float32),
+        conics[:, 0], conics[:, 1], conics[:, 2],
+    ], axis=1)                                              # (n, 11)
+    rows = jnp.pad(rows, ((0, 0), (0, ATTR_ROWS - rows.shape[1])))
     attrs_small = jnp.transpose(rows, (1, 0))
     attrs_small = attrs_small.at[3].set(jnp.where(
         vis & small, jnp.minimum(count, k_small), 0).astype(jnp.float32))
-    attrs_big = jnp.transpose(rows[big_idx], (1, 0))                # (8, m)
+    attrs_big = jnp.transpose(rows[big_idx], (1, 0))        # (ATTR_ROWS, m)
     count_big = attrs_big[3]    # exact: tile counts < 2^24
     attrs_big = attrs_big.at[3].set(
         jnp.where(big_sel, jnp.minimum(count_big, float(k_big)), 0.0))

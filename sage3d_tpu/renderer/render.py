@@ -48,27 +48,98 @@ def autotune_budgets(scene: GaussianScene, camera: Camera,
 
 
 def autotune_all(scene: GaussianScene, camera: Camera,
-                 sh_degree: Optional[int] = None) -> Dict[str, int]:
+                 sh_degree: Optional[int] = None,
+                 pair_margin: Optional[float] = None) -> Dict[str, int]:
     """autotune_budgets + a second probe that RUNS the binning with the chosen
     budgets and pow2-rounds the max per-tile pair count into
     ``tile_capacity`` — so the measured pipeline drops ZERO pairs anywhere
     (emission budgets cover every pair; tile_capacity covers the densest
-    tile). Two device probes, two host scalars fetched; each (scene-bucket,
-    resolution) choice is one cached compile."""
+    tile). Two device probes, three host scalars fetched; each (scene-bucket,
+    resolution) choice is one cached compile.
+
+    ``pair_margin``: when set, tighten ``pair_capacity`` to the MEASURED
+    post-cull pair count x margin (128-rounded) instead of the conservative
+    pre-cull AABB sum. The exact ellipse cull keeps far fewer pairs than the
+    AABB rect for anisotropic splats, and every downstream stage (feature
+    gather, kernels, gradient sort+reduction) is sized by this static
+    capacity. Use ~1.05 for a fixed (scene, camera) benchmark; leave None
+    when the SAME budgets will be reused across camera poses or a training
+    run that moves the Gaussians (the rect-based bound covers any pose;
+    a tightened one may overflow — reported, never silent)."""
     from ..ops.binning import _pow2_at_least
 
     budgets = autotune_budgets(scene, camera, sh_degree=sh_degree)
 
     @partial(jax.jit, static_argnames=())
-    def max_tile_count(s):
+    def bin_stats(s):
         proj = project_gaussians(s, camera, sh_degree=sh_degree)
         bins = bin_gaussians(proj, camera.width, camera.height,
                              k_small=budgets["k_small"],
                              m_big=budgets["m_big"], k_big=budgets["k_big"])
-        return jnp.max(bins.tile_count)
+        return jnp.max(bins.tile_count), bins.n_pairs
 
+    max_tile, n_pairs = jax.device_get(bin_stats(scene))
+    budgets["tile_capacity"] = _pow2_at_least(int(max_tile))
+    budgets["n_pairs_measured"] = int(n_pairs)
+    if pair_margin is not None:
+        tight = -(-int(int(n_pairs) * pair_margin + 256) // 128) * 128
+        budgets["pair_capacity"] = min(budgets["pair_capacity"], tight)
+    return budgets
+
+
+def autotune_poses(scene: GaussianScene, cameras, pair_margin: float = 1.5,
+                   sh_degree: Optional[int] = None) -> Dict[str, int]:
+    """Budgets safe across MANY camera poses (rollouts reuse one static config
+    for a whole episode): one vmapped probe computes per-pose pair stats, the
+    budgets cover the worst pose, and a second vmapped probe measures the
+    worst-pose post-cull pair count / densest tile so ``pair_capacity`` can be
+    tightened to measured x ``pair_margin`` instead of the pre-cull AABB sum.
+    ``cameras`` is a stacked Camera pytree (renderer.camera.stack_cameras) of
+    probe poses — e.g. 4-8 yaw rotations around the agent's operating region.
+    The margin buys headroom for unprobed poses; overflow stays COUNTED in
+    every render output, never silent.
+    """
+    from ..ops.binning import _pick_budgets, _pow2_at_least, pair_count_stats
+
+    width, height = int(cameras.width), int(cameras.height)
+
+    @jax.jit
+    def probe_stats(s, cams):
+        def one(c):
+            proj = project_gaussians(s, c, sh_degree=sh_degree)
+            return pair_count_stats(proj, width, height)
+        return jax.vmap(one)(cams)
+
+    stats = jax.device_get(probe_stats(scene, cameras))
+    worst = {
+        "n_visible": stats["n_visible"].max(),
+        "max_count": stats["max_count"].max(),
+        "exceed": stats["exceed"].max(axis=0),
+        # sum_count per pose = parts summed; take the worst pose's total but
+        # keep the parts layout _pick_budgets expects
+        "sum_count_parts": stats["sum_count_parts"][
+            stats["sum_count_parts"].sum(axis=1).argmax()],
+    }
+    budgets = _pick_budgets(worst, scene.num_gaussians)
+
+    @jax.jit
+    def probe_bins(s, cams):
+        def one(c):
+            proj = project_gaussians(s, c, sh_degree=sh_degree)
+            bins = bin_gaussians(proj, width, height,
+                                 k_small=budgets["k_small"],
+                                 m_big=budgets["m_big"],
+                                 k_big=budgets["k_big"])
+            return jnp.max(bins.tile_count), bins.n_pairs
+        mt, np_ = jax.vmap(one)(cams)
+        return jnp.max(mt), jnp.max(np_)
+
+    max_tile, n_pairs = jax.device_get(probe_bins(scene, cameras))
     budgets["tile_capacity"] = _pow2_at_least(
-        int(jax.device_get(max_tile_count(scene))))
+        int(int(max_tile) * pair_margin))
+    budgets["n_pairs_measured"] = int(n_pairs)
+    tight = -(-int(int(n_pairs) * pair_margin + 256) // 128) * 128
+    budgets["pair_capacity"] = min(budgets["pair_capacity"], tight)
     return budgets
 
 

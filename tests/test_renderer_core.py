@@ -81,11 +81,19 @@ def test_binning_covers_all_visible(small_scene, cam):
     proj = project_gaussians(small_scene, cam)
     bins = bin_gaussians(proj, W, H, pair_capacity=1 << 15)
     assert int(bins.overflow) == 0
-    # every visible gaussian with radius>0 appears in at least one tile list
+    # Every visible gaussian whose MEAN is on-screen appears in at least one
+    # tile list (the tile containing the mean has ellipse-min 0, so the exact
+    # cull always keeps it). Off-screen-mean gaussians may be culled entirely
+    # when their cutoff ellipse never reaches a frame tile — correct: such a
+    # splat contributes alpha < ALPHA_MIN (zeroed) at every pixel; the oracle
+    # parity tests below pin that behavior.
     counted = np.zeros(small_scene.num_gaussians, bool)
     pg = np.asarray(bins.pair_gauss)[: int(bins.n_pairs)]
     counted[pg] = True
-    vis = np.asarray(proj.visible) & (np.asarray(proj.radii) > 0)
+    m2d = np.asarray(proj.means2d)
+    on_screen = ((m2d[:, 0] >= 0) & (m2d[:, 0] < W)
+                 & (m2d[:, 1] >= 0) & (m2d[:, 1] < H))
+    vis = np.asarray(proj.visible) & (np.asarray(proj.radii) > 0) & on_screen
     assert np.all(counted[vis])
 
 
