@@ -83,7 +83,8 @@ def autotune(scene, camera):
     return autotune_all(scene, camera, pair_margin=1.05)
 
 
-def bench_backend(scene, camera, backend: str, budgets, iters: int = 12):
+def bench_backend(scene, camera, backend: str, budgets, iters: int = 12,
+                  grad_sort_bf16: bool = False):
     from sage3d_tpu.renderer.render import render
 
     # NOTE: the scene must be an ARGUMENT of the jitted program — closing over
@@ -95,7 +96,7 @@ def bench_backend(scene, camera, backend: str, budgets, iters: int = 12):
                      pair_capacity=budgets["pair_capacity"],
                      tile_capacity=budgets["tile_capacity"],
                      k_small=budgets["k_small"], m_big=budgets["m_big"],
-                     k_big=budgets["k_big"])
+                     k_big=budgets["k_big"], grad_sort_bf16=grad_sort_bf16)
         return (jnp.sum(out["rgb"] ** 2) * 1e-9
                 + jnp.sum(out["depth_acc"]) * 1e-12
                 + jnp.sum(out["alpha"]) * 1e-12)

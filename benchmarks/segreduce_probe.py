@@ -125,11 +125,37 @@ def main():
     scene = make_bench_scene_device()
     camera = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
                          width=1920, height=1080, focal_mm=14.0)
-    budgets = autotune_all(scene, camera)
+    budgets = autotune_all(scene, camera, pair_margin=1.05)
     log(f"(b) budgets: {budgets}")
     mpix, dt, compile_s = bench_backend(scene, camera, "pallas", budgets)
     log(f"(b) fwd+bwd 1080p/1M pallas: {dt*1e3:.1f} ms ({mpix:.2f} Mpix/s, "
         f"compile {compile_s:.0f}s)")
+
+    # --- (c) bf16 payload sort (opt-in fast mode): timing + gradient drift --
+    mpix16, dt16, compile16 = bench_backend(scene, camera, "pallas", budgets,
+                                            grad_sort_bf16=True)
+    log(f"(c) fwd+bwd bf16-sort: {dt16*1e3:.1f} ms ({mpix16:.2f} Mpix/s, "
+        f"compile {compile16:.0f}s)")
+
+    from sage3d_tpu.renderer.render import render as _render
+
+    @jax.jit
+    def grad_drift(s):
+        def loss(op, bf16):
+            out = _render(s._replace(opacity_logits=op), camera,
+                          backend="pallas",
+                          pair_capacity=budgets["pair_capacity"],
+                          tile_capacity=budgets["tile_capacity"],
+                          k_small=budgets["k_small"], m_big=budgets["m_big"],
+                          k_big=budgets["k_big"], grad_sort_bf16=bf16)
+            return jnp.sum(out["rgb"] ** 2) * 1e-9
+        g32 = jax.grad(lambda op: loss(op, False))(s.opacity_logits)
+        g16 = jax.grad(lambda op: loss(op, True))(s.opacity_logits)
+        scale = jnp.max(jnp.abs(g32)) + 1e-20
+        return jnp.max(jnp.abs(g32 - g16)) / scale
+
+    drift = float(jax.device_get(grad_drift(scene)))
+    log(f"(c) bf16-sort max grad drift (rel to max|g32|): {drift:.3e}")
 
 
 if __name__ == "__main__":

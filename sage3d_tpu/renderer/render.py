@@ -167,6 +167,7 @@ def render(
     k_small: int = 16,
     m_big: int = 8192,
     k_big: int = 256,
+    grad_sort_bf16: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
 
@@ -201,7 +202,8 @@ def render(
                              m_big=m_big, k_big=k_big)
         out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width,
                                      height, tile_capacity=tile_capacity,
-                                     pair_capacity=pair_capacity)
+                                     pair_capacity=pair_capacity,
+                                     grad_sort_bf16=grad_sort_bf16)
         overflow = bins.overflow + out.pop("tile_overflow")
     else:
         raise ValueError(f"unknown backend: {backend}")

@@ -68,3 +68,31 @@ def test_pallas_backward_matches_oracle(scene, cam):
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=3e-4,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_pallas_backward_bf16_sort_close(scene, cam):
+    """grad_sort_bf16 halves the dominant backward sort payload; gradients
+    must stay close to the f32-path values (segment accumulation is f32
+    either way, only per-row gradient payloads quantize to bf16)."""
+    target = jnp.asarray(np.random.default_rng(2).uniform(size=(H, W, 3)),
+                         jnp.float32)
+    params = {"means": scene.means, "log_scales": scene.log_scales,
+              "quats": scene.quats, "opacity_logits": scene.opacity_logits,
+              "sh": scene.sh}
+
+    def loss(p, bf16):
+        s = scene._replace(**p)
+        out = render(s, cam, backend="pallas", pair_capacity=1 << 14,
+                     grad_sort_bf16=bf16)
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    g32 = jax.grad(lambda p: loss(p, False))(params)
+    g16 = jax.grad(lambda p: loss(p, True))(params)
+    for name in ("means", "log_scales", "quats", "opacity_logits", "sh"):
+        a = np.asarray(g32[name])
+        b = np.asarray(g16[name])
+        scale = np.abs(a).max() + 1e-8
+        # bf16 carries ~8 mantissa bits -> per-row relative error ~4e-3;
+        # per-Gaussian sums keep errors the same order (independent signs).
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2,
+                                   err_msg=f"bf16-sort grad drift: {name}")
