@@ -30,7 +30,9 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def main():
+def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
+         max_steps=2000, plateau_db=0.05, n_views=6, width=256, height=256,
+         target_db=28.0):
     from sage3d_tpu.parallel.densify import (DensifyConfig, DensifyState,
                                              densify_prune,
                                              init_densify_state)
@@ -45,17 +47,9 @@ def main():
     from sage3d_tpu.renderer.render import autotune_all
     from sage3d_tpu.renderer.scene import synthetic_room
 
-    n = 100_000
-    capacity = 131_072
-    densify_every = 100
-    densify_until = 1200
-    max_steps = 2000
-    plateau_db = 0.05          # stop when a round improves less than this
-    n_views = 6
-
     scene = synthetic_room(n, seed=3)
     cameras, targets = make_orbit_targets(scene, n_views=n_views, radius=5.0,
-                                          width=256, height=256,
+                                          width=width, height=height,
                                           backend="xla")
     targets = jax.block_until_ready(targets)
     log("targets rendered")
@@ -131,7 +125,7 @@ def main():
         "n_gaussians": n, "capacity": capacity, "n_views": n_views,
         "curve": curve,
     }))
-    assert final >= 28.0, f"plateau below target: {final} dB"
+    assert final >= target_db, f"plateau below target: {final} dB"
 
 
 if __name__ == "__main__":

@@ -223,3 +223,26 @@ def test_ellipse_cull_tightens_anisotropic_scenes():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out["alpha"]),
                                np.asarray(ref["alpha"]), rtol=1e-3, atol=1e-3)
+
+
+def test_autotune_poses_covers_every_probed_pose():
+    """autotune_poses budgets must cover EVERY probed pose: overflow 0 when
+    rendering each pose with the shared static config (rollouts reuse one
+    compiled program across a whole episode)."""
+    from sage3d_tpu.renderer.camera import agent_camera, stack_cameras
+    from sage3d_tpu.renderer.render import autotune_poses, render
+
+    scene = synthetic_room(num_gaussians=2000, seed=13)
+    poses = [((0.0, -3.5), 1.57), ((1.0, -2.0), 0.5), ((-1.5, 0.0), 3.0),
+             ((0.5, 2.5), -1.2)]
+    cams = stack_cameras([agent_camera(p, yaw=y, width=160, height=128)
+                          for p, y in poses])
+    bud = autotune_poses(scene, cams, pair_margin=1.5)
+    assert bud["pair_capacity"] >= bud["n_pairs_measured"]
+    kw = dict(pair_capacity=bud["pair_capacity"],
+              tile_capacity=bud["tile_capacity"], k_small=bud["k_small"],
+              m_big=bud["m_big"], k_big=bud["k_big"])
+    for p, y in poses:
+        cam = agent_camera(p, yaw=y, width=160, height=128)
+        out = render(scene, cam, backend="xla", **kw)
+        assert int(out["overflow"]) == 0, f"overflow at pose {p}, yaw {y}"
