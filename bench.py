@@ -271,13 +271,17 @@ def main():
     # resolution sweep incl. the 4K two-key path) so the single bench line
     # carries the full picture; they are re-measured by benchmarks/*.py, not
     # by this run — see docs/BENCH_AUX_r02.json for provenance.
-    aux_path = os.path.join(os.path.dirname(__file__) or ".", "docs",
-                            "BENCH_AUX_r02.json")
-    if os.path.exists(aux_path):
-        with open(aux_path) as f:
-            aux = json.load(f)
-        result["detail"]["aux_recorded"] = {
-            k: aux[k] for k in ("rollout", "resolution_sweep") if k in aux}
+    docs = os.path.join(os.path.dirname(__file__) or ".", "docs")
+    for name in ("BENCH_AUX_r03.json", "BENCH_AUX_r02.json"):
+        aux_path = os.path.join(docs, name)
+        if os.path.exists(aux_path):
+            with open(aux_path) as f:
+                aux = json.load(f)
+            result["detail"]["aux_recorded"] = {
+                k: v for k, v in aux.items()
+                if k in ("rollout", "resolution_sweep", "collision",
+                         "shardmap_overhead", "convergence", "provenance")}
+            break
     print(json.dumps(result))
 
 
