@@ -68,6 +68,12 @@ def cmd_run_benchmark(args) -> int:
         cfg.benchmark.task_type = args.task_type
     if args.input_type:
         cfg.benchmark.use_depth = args.input_type == "rgbd"
+    if args.max_steps is not None:
+        cfg.benchmark.max_steps = args.max_steps
+    if args.goal_radius is not None:
+        cfg.benchmark.goal_radius = args.goal_radius
+    if args.save_videos:
+        cfg.benchmark.record_video = True
 
     if args.test_dir:
         # Batch mode: recursive test_*.json discovery + per-file scene/map
@@ -203,6 +209,16 @@ def main(argv=None) -> int:
     p.add_argument("--disable-collision", action="store_true")
     p.add_argument("--fast-mode", action="store_true")
     p.add_argument("--ultra-fast", action="store_true")
+    # Reference-named aliases for config fields (run_benchmark.py:1964-2026's
+    # long tail otherwise maps to --set benchmark.<field>=<v>, utils/config.py)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="episode step cap (alias of --set benchmark.max_steps)")
+    p.add_argument("--goal-radius", type=float, default=None,
+                   help="success radius in m (alias of "
+                        "--set benchmark.goal_radius)")
+    p.add_argument("--save-videos", action="store_true",
+                   help="record per-episode video (alias of "
+                        "--set benchmark.record_video=true)")
     p.add_argument("--instance-id", type=int, default=0)
     p.add_argument("--total-instances", type=int, default=1)
     _add_common(p)

@@ -182,3 +182,34 @@ def test_cli_run_benchmark_task_type_plumbing(tmp_path, monkeypatch):
     assert ep_files
     rec = _json.loads(ep_files[0].read_text())
     assert rec["episode_info"]["task_type"] == "pointnav"
+
+
+def test_cli_reference_alias_flags(tmp_path, monkeypatch):
+    """--max-steps/--goal-radius/--save-videos (reference flag names) reach
+    the runner, same as --set benchmark.<field>= overrides."""
+    import sage3d_tpu.bench.runner as runner_mod
+    from sage3d_tpu import cli
+    from sage3d_tpu.renderer.scene import save_ply, synthetic_room
+    from tests.test_bench_harness import make_gvln_json
+
+    traj, mp = make_gvln_json(tmp_path)
+    scene_ply = tmp_path / "scene.ply"
+    save_ply(synthetic_room(120, seed=3), str(scene_ply))
+
+    seen = {}
+
+    def fake_run_benchmark(env, episodes, policy, **kw):
+        seen.update(kw)
+        seen["goal_radius"] = episodes[0]["goals"][0].get("radius")
+        return {"metrics": {}}
+
+    monkeypatch.setattr(runner_mod, "run_benchmark", fake_run_benchmark)
+    rc = cli.main([
+        "run-benchmark", "--scene", str(scene_ply), "--map", str(mp),
+        "--test-json", str(traj), "--model-type", "scripted",
+        "--output-dir", str(tmp_path / "out"),
+        "--max-steps", "7", "--goal-radius", "0.9", "--save-videos"])
+    assert rc == 0
+    assert seen["max_steps"] == 7
+    assert seen["record_video"] is True
+    assert seen["goal_radius"] == 0.9
