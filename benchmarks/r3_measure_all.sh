@@ -14,14 +14,16 @@ stage() { echo; echo "===== [$(date +%H:%M:%S)] STAGE: $* ====="; }
 stage verify_drive
 timeout 7200 python benchmarks/verify_drive.py 2>&1
 
+# bench.py FIRST after verify: the driver re-runs it at end of round — its
+# programs must be in .jax_cache even if the tunnel dies again mid-sweep.
+stage bench_headline
+timeout 10800 python bench.py 2>&1
+
 stage segreduce_probe
 timeout 7200 python benchmarks/segreduce_probe.py 2>&1
 
 stage stage_profile
 timeout 7200 python benchmarks/stage_profile.py 2>&1
-
-stage bench_headline
-timeout 10800 python bench.py 2>&1
 
 stage rollout_bench
 timeout 10800 python benchmarks/rollout_bench.py 2>&1
