@@ -202,3 +202,26 @@ def test_channel_cov2d_matches_matrix_form():
     got = np.asarray(proj.conics)[vis]
     want = conics_ref[vis]
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_camera_pose_gradients_flow_and_match(small_scene, cam):
+    """Gradients w.r.t. camera POSITION flow through projection into every
+    backend and agree with the oracle — pose optimization / bundle adjustment
+    is a standard 3DGS use (SURVEY §7.2 step 3: grads for Gaussian params +
+    camera). Binning's stop_gradients only detach pair INDICES, not the
+    projected features."""
+    target = jnp.asarray(np.random.default_rng(3).uniform(size=(H, W, 3)),
+                         jnp.float32)
+
+    def loss(cam_pos, backend):
+        c = cam._replace(position=cam_pos)
+        out = render(small_scene, c, backend=backend)
+        return jnp.mean((out["rgb"] - target) ** 2)
+
+    grads = {b: np.asarray(jax.grad(lambda p: loss(p, b))(cam.position))
+             for b in ("oracle", "xla", "pallas")}
+    scale = np.abs(grads["oracle"]).max()
+    assert scale > 1e-8, "camera gradient is identically zero"
+    for b in ("xla", "pallas"):
+        np.testing.assert_allclose(grads[b] / scale, grads["oracle"] / scale,
+                                   atol=3e-3, err_msg=f"camera grad: {b}")
