@@ -31,6 +31,9 @@ timeout 10800 python benchmarks/rollout_bench.py 2>&1
 stage shardmap_overhead
 timeout 7200 python benchmarks/shardmap_overhead.py 2>&1
 
+stage memory_audit
+timeout 7200 python benchmarks/memory_audit.py 2>&1
+
 stage res_sweep
 timeout 10800 python benchmarks/res_sweep.py 2>&1
 
