@@ -113,7 +113,6 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
             # Plateau = TWO consecutive rounds without beating the best by
             # plateau_db (a single noisy dip must not end the run).
             if db > best_psnr + plateau_db:
-                best_psnr = max(best_psnr, db)
                 stall_rounds = 0
             elif step > densify_until:
                 stall_rounds += 1

@@ -94,10 +94,15 @@ def audit_sharded_step(mesh, n_gauss: int = 256, width: int = 64,
         (2 * n_data, max(padded_h, 32 * n_tile), width, 3)), jnp.float32)
 
     opt = make_optimizer(1e-3)
+    # force_shard_map: the audit inspects the SPMD program's structure, so
+    # the shard_map wrapper must be present even on a trivial (1,1) mesh
+    # (where make_train_step otherwise takes the direct path with zero
+    # collectives and the written-program assertions below would fire).
     train_step, _ = make_train_step(scene, cams, mesh, optimizer=opt,
                                     backend=backend, pair_capacity=1 << 14,
                                     tile_capacity=256,
-                                    grad_buckets=grad_buckets)
+                                    grad_buckets=grad_buckets,
+                                    force_shard_map=True)
     params = scene_params(scene)
     # Shard-placement check: every trainable leaf must live as n/n_tile rows
     # per device — a replicated leaf would show full-size shards.
@@ -132,9 +137,12 @@ def audit_sharded_step(mesh, n_gauss: int = 256, width: int = 64,
     ag = _collect_hlo_ops(opt_text, "all-gather")
     rs = _collect_hlo_ops(opt_text, "reduce-scatter")
     ar = _collect_hlo_ops(opt_text, "all-reduce")
-    assert ag, "optimized HLO contains no all-gather — params not gathered?"
-    assert rs or ar, ("optimized HLO contains neither reduce-scatter nor "
-                      "all-reduce — gradients are not being reduced")
+    if mesh.size > 1:
+        assert ag, "optimized HLO contains no all-gather — params not gathered?"
+        assert rs or ar, ("optimized HLO contains neither reduce-scatter nor "
+                          "all-reduce — gradients are not being reduced")
+    # on a (1,1) mesh XLA rightly elides the degenerate collectives; the
+    # written-program assertions above still verify the SPMD structure.
 
     # Communication model: each param is all-gathered (each device sends its
     # shard to n-1 peers -> bytes*(n-1)/n on the wire per device) and its

@@ -184,18 +184,28 @@ def zero_opacity_moments(opt_state):
     Companion to `reset_opacity`: clamping the logits while Adam's first/
     second moments for them survive lets accumulated momentum push opacities
     straight back up after the reset — classic 3DGS zeroes the state too.
-    Traverses any optax state whose moment containers mirror the params dict.
+
+    Path-aware so it works on BOTH optimizer shapes in use: plain adam
+    (moments are params-mirroring dicts) and make_group_optimizer's
+    optax.multi_transform (whose inner_states dict is keyed by group label —
+    also 'opacity_logits' — and whose masked moment trees hold MaskedNode
+    placeholders at the other keys). Only float ARRAY leaves under an
+    'opacity_logits' path key are zeroed: placeholders and integer step
+    counters pass through untouched (torch-3DGS resets exp_avg/exp_avg_sq
+    and keeps the step).
     """
-    def _is_params_dict(x):
-        return isinstance(x, dict) and "opacity_logits" in x
+    from jax.tree_util import DictKey, tree_map_with_path
 
-    def _fix(node):
-        if _is_params_dict(node):
-            node = dict(node)
-            node["opacity_logits"] = jnp.zeros_like(node["opacity_logits"])
-        return node
+    def _fix(path, leaf):
+        on_opacity = any(isinstance(k, DictKey) and k.key == "opacity_logits"
+                         for k in path)
+        if (on_opacity and hasattr(leaf, "dtype") and hasattr(leaf, "ndim")
+                and leaf.ndim >= 1
+                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return jnp.zeros_like(leaf)
+        return leaf
 
-    return jax.tree_util.tree_map(_fix, opt_state, is_leaf=_is_params_dict)
+    return tree_map_with_path(_fix, opt_state)
 
 
 def reset_opacity(params: Dict[str, jnp.ndarray],

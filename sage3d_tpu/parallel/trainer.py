@@ -108,7 +108,7 @@ def fit_scene(
 
 @dataclass
 class AdaptiveConfig:
-    densify_every: int = 50
+    densify_every: int = 50       # 0 = never
     densify_until: int = 10_000   # no density control after this step
     opacity_reset_every: int = 0  # 0 = never
     grad_threshold: float = 2e-4
@@ -185,7 +185,8 @@ def fit_scene_adaptive(
             state, loss, gnorm = train_step.adc(state, cameras, targets)
             dstate = accumulate(dstate, gnorm[:, None])
             info = None
-            if (step + 1) % adaptive.densify_every == 0 \
+            if adaptive.densify_every \
+                    and (step + 1) % adaptive.densify_every == 0 \
                     and step + 1 <= adaptive.densify_until:
                 key, sub = jax.random.split(key)
                 new_params, dstate, opt_state, semantic_ids, info = \

@@ -215,12 +215,13 @@ class QwenVLAdapter(MLLMAdapter):
         self.max_new_tokens = max_new_tokens
 
     def build_messages(self, image, instruction: str):
+        content = ([{"type": "image", "image": image}] if image is not None
+                   else [])
+        content.append({"type": "text",
+                        "text": VLNPromptTemplate.user(instruction)})
         return [
             {"role": "system", "content": VLNPromptTemplate.SYSTEM},
-            {"role": "user", "content": [
-                {"type": "image", "image": image},
-                {"type": "text", "text": VLNPromptTemplate.user(instruction)},
-            ]},
+            {"role": "user", "content": content},
         ]
 
     def generate_response(self, images, instruction):
@@ -228,8 +229,11 @@ class QwenVLAdapter(MLLMAdapter):
         messages = self.build_messages(image, instruction)
         text = self.processor.apply_chat_template(
             messages, tokenize=False, add_generation_prompt=True)
-        inputs = self.processor(text=[text], images=[image],
-                                return_tensors="pt", padding=True)
+        # text-only requests are legal on the wire (client.py sends them for
+        # pure-instruction turns): no image slot, no images kwarg
+        img_kw = {"images": [image]} if image is not None else {}
+        inputs = self.processor(text=[text], return_tensors="pt",
+                                padding=True, **img_kw)
         device = getattr(self.model, "device", None)
         if device is not None:
             inputs = inputs.to(device)
@@ -248,6 +252,7 @@ class LLaVAAdapter(MLLMAdapter):
     """
 
     PROMPT_FMT = "USER: <image>\n{system}\n\n{user}\nASSISTANT:"
+    PROMPT_FMT_NOIMG = "USER: {system}\n\n{user}\nASSISTANT:"
 
     def __init__(self, model_id: str = "", device: str = "cpu",
                  max_new_tokens: int = 64, model=None, processor=None):
@@ -261,14 +266,19 @@ class LLaVAAdapter(MLLMAdapter):
         self.processor = processor
         self.max_new_tokens = max_new_tokens
 
-    def build_prompt(self, instruction: str) -> str:
-        return self.PROMPT_FMT.format(system=VLNPromptTemplate.SYSTEM,
-                                      user=VLNPromptTemplate.user(instruction))
+    def build_prompt(self, instruction: str, has_image: bool = True) -> str:
+        fmt = self.PROMPT_FMT if has_image else self.PROMPT_FMT_NOIMG
+        return fmt.format(system=VLNPromptTemplate.SYSTEM,
+                          user=VLNPromptTemplate.user(instruction))
 
     def generate_response(self, images, instruction):
         image = images[-1] if images else None
-        inputs = self.processor(text=self.build_prompt(instruction),
-                                images=image, return_tensors="pt")
+        # text-only requests: drop the <image> token AND the images kwarg
+        # (HF LLaVA processors raise on an <image> token with no pixels)
+        img_kw = {"images": image} if image is not None else {}
+        inputs = self.processor(
+            text=self.build_prompt(instruction, has_image=image is not None),
+            return_tensors="pt", **img_kw)
         device = getattr(self.model, "device", None)
         if device is not None:
             inputs = inputs.to(device)
@@ -391,6 +401,14 @@ class MLLMServer:
             except Exception as e:
                 if self.verbose:
                     print(f"[MLLM_SERVER] request failed: {e}")
+                # Best-effort framed error reply so the client gets a STOP
+                # with a reason instead of blocking on recv until its own
+                # timeout (the reference client maps errors to stop too).
+                try:
+                    send_framed(conn, {"result": "STOP",
+                                       "error": str(e)[:200]})
+                except Exception:
+                    pass
             finally:
                 conn.close()
 

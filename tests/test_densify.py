@@ -166,3 +166,65 @@ def test_fit_scene_adaptive_on_tile_mesh():
     rounds = [h for h in history if "n_alive" in h]
     assert rounds and rounds[-1]["n_alive"] > 100
     assert history[-1]["mse"] < history[0]["mse"]
+
+
+def test_zero_opacity_moments_group_optimizer():
+    """zero_opacity_moments must work on BOTH optimizer shapes: plain adam
+    and make_group_optimizer's multi_transform (whose inner_states dict is
+    keyed by group label and whose masked trees carry MaskedNode
+    placeholders) — the opacity-reset path crashes otherwise."""
+    import jax.numpy as jnp
+    import optax
+
+    from sage3d_tpu.parallel.densify import zero_opacity_moments
+    from sage3d_tpu.parallel.train import make_group_optimizer, scene_params
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    params = scene_params(synthetic_room(64, seed=0))
+
+    for opt in (optax.adam(1e-3), make_group_optimizer(extent=2.0)):
+        state = opt.init(params)
+        # push one step so the moments are non-zero
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        _, state = opt.update(grads, state, params)
+        zeroed = zero_opacity_moments(state)
+
+        def collect(s):
+            out = {"op": [], "other": []}
+            for path, leaf in jax.tree_util.tree_leaves_with_path(s):
+                if not (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                        and jnp.issubdtype(leaf.dtype, jnp.floating)):
+                    continue
+                key = "op" if any(
+                    getattr(k, "key", None) == "opacity_logits"
+                    for k in path) else "other"
+                out[key].append(leaf)
+            return out
+
+        before, after = collect(state), collect(zeroed)
+        assert before["op"] and before["other"]
+        assert any(float(jnp.abs(x).max()) > 0 for x in before["op"])
+        assert all(float(jnp.abs(x).max()) == 0 for x in after["op"])
+        # untouched: every non-opacity float leaf identical
+        for a, b in zip(before["other"], after["other"]):
+            assert float(jnp.abs(a - b).max()) == 0
+
+
+def test_fit_scene_adaptive_opacity_reset_group_lrs():
+    """End-to-end: the opacity-reset branch runs without crashing under
+    group learning rates (the configuration it exists for)."""
+    from sage3d_tpu.parallel.trainer import (AdaptiveConfig, TrainerConfig,
+                                             fit_scene_adaptive,
+                                             make_orbit_targets)
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(128, seed=1)
+    cams, targets = make_orbit_targets(scene, n_views=2, radius=4.0,
+                                       width=32, height=32, backend="xla")
+    state, curve = fit_scene_adaptive(
+        scene, cams, targets,
+        config=TrainerConfig(steps=4, log_every=2, group_lrs=True,
+                             pair_capacity=1 << 12, tile_capacity=256),
+        adaptive=AdaptiveConfig(densify_every=0, opacity_reset_every=2),
+        capacity=256, verbose=False)
+    assert state is not None

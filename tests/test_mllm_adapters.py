@@ -42,7 +42,7 @@ class _FakeQwenProcessor:
                                  else item["text"])
         return "".join(parts) + "<|assistant|>"
 
-    def __call__(self, text, images, return_tensors, padding=False):
+    def __call__(self, text, images=None, return_tensors=None, padding=False):
         self.calls["text"] = text
         self.calls["images"] = images
         return _FakeTensorDict(input_ids=[[1, 2, 3, 4]])
@@ -78,7 +78,7 @@ class _FakeLLaVAProcessor:
     def __init__(self):
         self.prompt = None
 
-    def __call__(self, text, images, return_tensors):
+    def __call__(self, text, images=None, return_tensors=None):
         self.prompt = text
         ids = np.zeros((1, 5), np.int64)
         return _FakeTensorDict(input_ids=ids)
@@ -155,3 +155,49 @@ def test_family_dispatch():
                         model=_FakeInternVLModel(),
                         tokenizer=_FakeTokenizer())
     assert isinstance(c, InternVLAdapter)
+
+
+def test_qwen_llava_text_only_requests():
+    """Text-only wire requests (no images) are legal: no image slot in the
+    prompt, no images kwarg to the processor (real HF processors raise on
+    an image token with no pixels)."""
+    proc = _FakeQwenProcessor()
+    a = QwenVLAdapter(model=_FakeQwenModel(), processor=proc)
+    out = a.generate_response([], "stop at the table")
+    assert out == "decoded:7,8"
+    msgs = proc.calls["messages"]
+    assert all(item["type"] == "text" for item in msgs[1]["content"])
+    assert proc.calls["images"] is None  # kwarg omitted -> fake default
+
+    lproc = _FakeLLaVAProcessor()
+    b = LLaVAAdapter(model=_FakeLLaVAModel(), processor=lproc)
+    out = b.generate_response([], "stop at the table")
+    assert out == "decoded:9,9"
+    assert "<image>" not in lproc.prompt
+    assert lproc.prompt.startswith("USER: ")
+
+
+def test_server_sends_framed_error_reply():
+    """A crashing adapter must still produce a framed STOP reply, not a bare
+    connection close (the client would otherwise block until its timeout)."""
+    import socket
+
+    from sage3d_tpu.serve.mllm_server import MLLMServer
+    from sage3d_tpu.serve.protocol import recv_framed, send_framed
+
+    class _Boom:
+        def generate_response(self, images, instruction):
+            raise RuntimeError("model exploded")
+
+        def extract_action(self, raw):
+            return raw
+
+    srv = MLLMServer(_Boom(), port=0).start()
+    try:
+        with socket.create_connection(("localhost", srv.port), timeout=10) as c:
+            send_framed(c, {"query": "go", "images": []})
+            reply = recv_framed(c)
+        assert reply["result"] == "STOP"
+        assert "model exploded" in reply["error"]
+    finally:
+        srv.stop()
