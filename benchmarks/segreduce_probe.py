@@ -15,36 +15,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
-
-
-def timed(name, fn, args, iters=6):
-    @jax.jit
-    def loop(c, *a):
-        def body(i, c):
-            return c + fn(c, *a)
-        return jax.lax.fori_loop(0, iters, body, c)
-
-    t0 = time.time()
-    float(jax.device_get(loop(jnp.float32(0.0), *args)))
-    first = time.time() - t0
-    t0 = time.time()
-    float(jax.device_get(loop(jnp.float32(0.0), *args)))
-    dt = (time.time() - t0) / iters
-    log(f"{name}: {dt * 1e3:.1f} ms/iter (first {first:.1f}s)")
-    return dt
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _util import log, timed  # noqa: E402 (jax cache + repo path config)
 
 
 def old_glue(gid_s, cols_sorted, n_gauss):
@@ -114,8 +89,12 @@ def main():
         out = old_glue(ids, tuple(cols[j] + c * 0 for j in range(10)), N)
         return jnp.sum(out[::4097]) * 1e-9
 
-    timed("(a) NEW pallas segreduce (P=5.3M)", run_new, (ids, cols))
-    timed("(a) OLD cumsum+boundary (P=5.3M)", run_old, (ids, cols))
+    dt, first = timed(run_new, (ids, cols))
+    log(f"(a) NEW pallas segreduce (P=5.3M): {dt*1e3:.1f} ms "
+        f"(first call {first:.0f}s)")
+    dt, first = timed(run_old, (ids, cols))
+    log(f"(a) OLD cumsum+boundary (P=5.3M): {dt*1e3:.1f} ms "
+        f"(first call {first:.0f}s)")
 
     # --- (b) full 1080p/1M fwd+bwd through the integrated VJP --------------
     from bench import bench_backend, make_bench_scene_device
