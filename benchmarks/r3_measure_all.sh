@@ -5,40 +5,48 @@
 #
 #   nohup bash benchmarks/r3_measure_all.sh > /tmp/r3_measure.log 2>&1 &
 #
-# Stages print flushed banners; each tolerates failure and moves on.
+# Stages print flushed banners; each tolerates failure and moves on. Before
+# each stage the device is probed with a hard deadline — PJRT init of the
+# axon plugin blocks forever when the tunnel is down, so without the probe a
+# dead tunnel would burn every stage's full timeout.
 set -u
 cd "$(dirname "$0")/.."
 
 stage() { echo; echo "===== [$(date +%H:%M:%S)] STAGE: $* ====="; }
 
-stage verify_drive
-timeout 7200 python benchmarks/verify_drive.py 2>&1
+probe() {
+  timeout 300 python -c "import jax; print('probe:', jax.devices()[0])" 2>&1
+}
+
+run_stage() {  # run_stage <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  stage "$name"
+  if ! probe; then
+    echo "[$name] SKIPPED: device probe failed (tunnel down)"
+    return 1
+  fi
+  timeout "$t" "$@" 2>&1
+}
+
+run_stage verify_drive 7200 python benchmarks/verify_drive.py
 
 # bench.py FIRST after verify: the driver re-runs it at end of round — its
 # programs must be in .jax_cache even if the tunnel dies again mid-sweep.
-stage bench_headline
-timeout 10800 python bench.py 2>&1
+run_stage bench_headline 10800 python bench.py
 
-stage segreduce_probe
-timeout 7200 python benchmarks/segreduce_probe.py 2>&1
+run_stage segreduce_probe 7200 python benchmarks/segreduce_probe.py
 
-stage stage_profile
-timeout 7200 python benchmarks/stage_profile.py 2>&1
+run_stage stage_profile 7200 python benchmarks/stage_profile.py
 
-stage rollout_bench
-timeout 10800 python benchmarks/rollout_bench.py 2>&1
+run_stage rollout_bench 10800 python benchmarks/rollout_bench.py
 
-stage shardmap_overhead
-timeout 7200 python benchmarks/shardmap_overhead.py 2>&1
+run_stage shardmap_overhead 7200 python benchmarks/shardmap_overhead.py
 
-stage memory_audit
-timeout 7200 python benchmarks/memory_audit.py 2>&1
+run_stage memory_audit 7200 python benchmarks/memory_audit.py
 
-stage res_sweep
-timeout 10800 python benchmarks/res_sweep.py 2>&1
+run_stage res_sweep 10800 python benchmarks/res_sweep.py
 
-stage converge_demo
-timeout 10800 python benchmarks/converge_demo.py 2>&1
+run_stage converge_demo 10800 python benchmarks/converge_demo.py
 
 stage DONE
 echo "all stages attempted"
