@@ -1,0 +1,106 @@
+"""BASELINE config #3: batch of 8 cameras at 1080p, RGB + semantic-ID buffer.
+
+vmap-batched semantic rendering of the full 1M-Gaussian scene — the Isaac
+camera-farm replacement pattern (data/images.py uses the same shape for
+training-data generation). Budgets are shared across the batch via
+autotune_poses (worst probed pose x margin); throughput counts ALL pixels of
+the batch. Forward (the config's workload) and fwd+bwd both measured.
+
+Run:  timeout 10800 python benchmarks/multicam_bench.py [--small]
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _util import log  # noqa: E402 (jax cache + repo path config)
+
+
+def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
+    from bench import make_bench_scene_device
+    from sage3d_tpu.renderer.camera import make_camera, stack_cameras
+    from sage3d_tpu.renderer.render import autotune_poses, render
+
+    scene = make_bench_scene_device(n_gauss)
+    cams = stack_cameras([
+        make_camera(position=[0.0 + 0.4 * i, -6.0 + 0.3 * i, 1.5],
+                    forward=[0.1 * (i - 3.5), 1.0, -0.05],
+                    width=width, height=height, focal_mm=14.0)
+        for i in range(batch)])
+    budgets = autotune_poses(scene, cams, pair_margin=1.2)
+    log(f"shared budgets over {batch} cams: {budgets}")
+    kw = dict(pair_capacity=budgets["pair_capacity"],
+              tile_capacity=budgets["tile_capacity"],
+              k_small=budgets["k_small"], m_big=budgets["m_big"],
+              k_big=budgets["k_big"])
+
+    def one_fwd(s, cam):
+        out = render(s, cam, backend="pallas", **kw)
+        # consume rgb + semantic + overflow so nothing is DCE'd
+        return (jnp.sum(out["rgb"] ** 2) * 1e-9
+                + jnp.sum(out["semantic"]) * 1e-12
+                + out["overflow"] * 1.0)
+
+    @jax.jit
+    def fwd_loop(s, c):
+        def body(i, c):
+            s2 = s._replace(opacity_logits=s.opacity_logits + c * 0)
+            vals = jax.vmap(lambda cam: one_fwd(s2, cam))(cams)
+            return jnp.sum(vals) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, c)
+
+    def bwd_loss(op, s, c):
+        s2 = s._replace(opacity_logits=op + c * 0)
+        return jnp.sum(jax.vmap(lambda cam: one_fwd(s2, cam))(cams))
+
+    gfn = jax.grad(bwd_loss)
+
+    @jax.jit
+    def bwd_loop(s, c):
+        def body(i, c):
+            g = gfn(s.opacity_logits, s, c)
+            return c + g[0] * 1e-6
+        return jax.lax.fori_loop(0, iters, body, c)
+
+    px = batch * width * height
+
+    def timeit(loop):
+        t0 = time.time()
+        float(jax.device_get(loop(scene, jnp.float32(0.0))))
+        first = time.time() - t0
+        t0 = time.time()
+        float(jax.device_get(loop(scene, jnp.float32(0.0))))
+        dt = (time.time() - t0) / iters
+        return dt, first
+
+    fwd_dt, fwd_first = timeit(fwd_loop)
+    log(f"fwd batch-{batch}: {fwd_dt*1e3:.1f} ms "
+        f"({px/fwd_dt/1e6:.1f} Mpix/s, first {fwd_first:.0f}s)")
+    bwd_dt, bwd_first = timeit(bwd_loop)
+    log(f"fwd+bwd batch-{batch}: {bwd_dt*1e3:.1f} ms "
+        f"({px/bwd_dt/1e6:.1f} Mpix/s, first {bwd_first:.0f}s)")
+
+    print(json.dumps({
+        "metric": "multicam_semantic_batch",
+        "batch": batch, "width": width, "height": height,
+        "n_gaussians": n_gauss,
+        "fwd_s": round(fwd_dt, 4),
+        "fwd_mpix_per_s": round(px / fwd_dt / 1e6, 2),
+        "fwd_bwd_s": round(bwd_dt, 4),
+        "fwd_bwd_mpix_per_s": round(px / bwd_dt / 1e6, 2),
+        "budgets": budgets,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    if "--small" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        main(n_gauss=5000, width=128, height=96, batch=4, iters=2)
+    else:
+        main()

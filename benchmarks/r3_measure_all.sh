@@ -44,6 +44,8 @@ run_stage shardmap_overhead 7200 python benchmarks/shardmap_overhead.py
 
 run_stage memory_audit 7200 python benchmarks/memory_audit.py
 
+run_stage multicam_bench 10800 python benchmarks/multicam_bench.py
+
 run_stage res_sweep 10800 python benchmarks/res_sweep.py
 
 run_stage converge_demo 10800 python benchmarks/converge_demo.py
