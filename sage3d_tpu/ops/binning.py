@@ -140,13 +140,18 @@ def _emit_block(x0, y0, nx, count, sel, mx, my, r2, tiles_x, n_tiles,
 
 
 EMIT_GB = 1024  # Gaussians per emission-kernel grid step (lane dim)
+EMIT_KB = 128   # max candidate-tile rows per grid step: the kernel keeps ~13
+                # live (k, gb) f32 temporaries, so an un-tiled k_budget of 512
+                # at gb=1024 needs ~26 MB of scoped VMEM (> the 16 MB limit,
+                # observed as a Mosaic stack OOM on device). Tiling k into the
+                # grid caps the working set at ~6.8 MB for any budget.
 ATTR_ROWS = 16  # emission attr table rows (2 f32 sublane tiles):
                 # [x0, y0, nx, count_eff, mx, my, cut2, rank(bitcast),
                 #  conic_a, conic_b, conic_c, 5 x pad]
 
 
 def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
-                 tile_h: int, k_budget: int, attrs_ref, rank_ref, out_ref):
+                 tile_h: int, k_blk: int, attrs_ref, rank_ref, out_ref):
     """Fused tile-id emission: rect walk + exact ellipse-tile cull + key build
     for ``k_budget`` candidate tiles of EMIT_GB Gaussians, one elementwise pass.
 
@@ -185,8 +190,9 @@ def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
     cb = attrs_ref[9:10, :]
     cc = attrs_ref[10:11, :]
 
-    kf = (jax.lax.broadcasted_iota(jnp.int32, (k_budget, 1), 0)
-          .astype(jnp.float32))
+    kb = pl.program_id(1)
+    kf = (jax.lax.broadcasted_iota(jnp.int32, (k_blk, 1), 0)
+          + kb * k_blk).astype(jnp.float32)
     nxs = jnp.maximum(nx, 1.0)   # padded rows carry nx=0 (and count=0)
     inv = 1.0 / nxs
     q = jnp.floor(kf * inv)                       # (k, GB)
@@ -233,21 +239,27 @@ def _emit_kernel(tiles_x: int, n_tiles: int, mult: int, tile_w: int,
 def _get_emit_call(nb: int, gb: int, k_budget: int, tiles_x: int,
                    n_tiles: int, mult: int, tile_w: int, tile_h: int,
                    interpret: bool):
+    k_blk = min(k_budget, EMIT_KB)
+    k_pad = -(-k_budget // k_blk) * k_blk
     kernel = functools.partial(_emit_kernel, tiles_x, n_tiles, mult,
-                               tile_w, tile_h, k_budget)
+                               tile_w, tile_h, k_blk)
 
     def call(attrs, ranks):
-        return pl.pallas_call(
+        # Grid is (gaussian block, k block) with k fastest-varying: the attrs
+        # / rank input blocks have the same index for every k step, so Mosaic
+        # skips the redundant re-fetches.
+        out = pl.pallas_call(
             kernel,
-            grid=(nb,),
+            grid=(nb, k_pad // k_blk),
             in_specs=[
-                pl.BlockSpec((ATTR_ROWS, gb), lambda b: (0, b)),
-                pl.BlockSpec((1, gb), lambda b: (0, b)),
+                pl.BlockSpec((ATTR_ROWS, gb), lambda b, kb: (0, b)),
+                pl.BlockSpec((1, gb), lambda b, kb: (0, b)),
             ],
-            out_specs=pl.BlockSpec((k_budget, gb), lambda b: (0, b)),
-            out_shape=jax.ShapeDtypeStruct((k_budget, nb * gb), jnp.int32),
+            out_specs=pl.BlockSpec((k_blk, gb), lambda b, kb: (kb, b)),
+            out_shape=jax.ShapeDtypeStruct((k_pad, nb * gb), jnp.int32),
             interpret=interpret,
         )(attrs, ranks)
+        return out[:k_budget] if k_pad != k_budget else out
 
     return call
 
