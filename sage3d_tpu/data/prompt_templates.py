@@ -9,6 +9,8 @@ substitutes placeholders without touching literal braces elsewhere in the
 text (templates contain JSON examples, so str.format is unusable).
 
 Templates (same roles/placeholders/output contracts as the reference set):
+  * prompt_pairwise_judgement       — {scene_map}, {start_item}, {end_item} ->
+    JSON object {meaningful} (single-pair variant, non-batched judging)
   * prompt_pairwise_judgement_batch — {scene_map}, {pairs_list} ->
     JSON array [{pair_id, start, end, meaningful}]
   * prompt_traj_to_instruction     — {text}{json} ->
@@ -68,6 +70,15 @@ def pairwise_judgement_messages(scene_map: str,
     return render_template(
         load_prompt_template("prompt_pairwise_judgement_batch"),
         scene_map=scene_map, pairs_list=listing)
+
+
+def pairwise_judgement_single_messages(scene_map: str, start_item: str,
+                                       end_item: str) -> List[Dict[str, str]]:
+    """Single-pair judgement messages (reference ships this as a separate
+    template next to the batch one; same rules, one verdict per call)."""
+    return render_template(
+        load_prompt_template("prompt_pairwise_judgement"),
+        scene_map=scene_map, start_item=start_item, end_item=end_item)
 
 
 def traj_to_instruction_messages(scene_text: str, start_item: str,

@@ -236,6 +236,21 @@ def judge_pairs_batch(client: LLMClient, pairs: Sequence[Tuple[str, str]],
     return [p for p, ok in zip(pairs, results) if ok]
 
 
+def judge_pair(client: LLMClient, start_item: str, end_item: str,
+               scene_text: str) -> bool:
+    """Non-batched single-pair judging via prompt_pairwise_judgement (the
+    reference ships both templates; the batch path above is the production
+    one, this keeps CLI parity for one-off judgement calls)."""
+    from .prompt_templates import pairwise_judgement_single_messages
+    text = client.chat_with_retry(
+        pairwise_judgement_single_messages(scene_text, start_item, end_item))
+    if text is None:
+        return False
+    parsed = robust_json_parse(text)
+    return bool(parsed.get("meaningful", False)) if isinstance(parsed, dict) \
+        else False
+
+
 # ---------------------------------------------------------------------------
 # Path -> trajectory points
 # ---------------------------------------------------------------------------
