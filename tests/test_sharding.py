@@ -206,3 +206,17 @@ def test_hlo_collective_audit():
     for k, rec in audit["param_shards"].items():
         assert rec["shard_rows"] * rec["n_tile"] == rec["total_rows"], k
     assert audit["comm_model"]["wire_bytes_per_step_per_device"] > 0
+
+
+def test_multihost_two_process_dryrun():
+    """VERDICT r3 #6: the multi-HOST (DCN axis) path must actually EXECUTE,
+    not just compile — 2 real OS processes, each its own JAX host with 2
+    virtual CPU devices, Gloo collectives, full sharded train step, host-local
+    episode sharding. Cross-host loss agreement is asserted inside."""
+    from sage3d_tpu.parallel.multihost import dryrun_multihost
+
+    report = dryrun_multihost(num_processes=2, local_devices=2,
+                              n_gauss=128, image=32, timeout_s=600)
+    assert report["ok"]
+    assert report["written_collectives"]["all_gather"] >= 20
+    assert len(report["episodes_by_host"]) == 2
