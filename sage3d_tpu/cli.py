@@ -508,6 +508,17 @@ def main(argv=None) -> int:
         return 0
     p.set_defaults(fn=_serve_video)
 
+    p = sub.add_parser("validate-ply",
+                       help="audit a compressed 3DGS PLY against every "
+                            "decoder format assumption (native vs python "
+                            "cross-check included)")
+    p.add_argument("ply")
+
+    def _validate_ply(a):
+        from .utils.ply_validate import main as vmain
+        return vmain([a.ply])
+    p.set_defaults(fn=_validate_ply)
+
     args = parser.parse_args(argv)
     return args.fn(args)
 

@@ -157,3 +157,27 @@ def test_load_compressed_ply_with_sh_element(tmp_path):
                       height=32)
     out = render(scene, cam, backend="xla")
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_validate_compressed_ply(tmp_path):
+    """The validate-ply audit tool passes on a well-formed file and pinpoints
+    a corrupted one (swapped chunk bounds)."""
+    from sage3d_tpu.utils.ply_validate import validate_compressed_ply
+
+    chunk, packed = make_compressed_arrays(n=700)
+    rest = (np.arange(700 * 9, dtype=np.int64) % 256).astype(np.uint8)
+    rest = rest.reshape(700, 9)
+    p = tmp_path / "3dgs_compressed.ply"
+    write_compressed_ply(p, chunk, packed, sh_rest=rest)
+    report = validate_compressed_ply(p)
+    assert report["ok"], [c for c in report["checks"] if not c["ok"]]
+    assert report["n_vertices"] == 700 and report["n_chunks"] == 3
+
+    bad = chunk.copy()
+    bad[:, 0:3], bad[:, 3:6] = chunk[:, 3:6], chunk[:, 0:3]  # min/max swapped
+    p2 = tmp_path / "bad.ply"
+    write_compressed_ply(p2, bad, packed)
+    report2 = validate_compressed_ply(p2)
+    assert not report2["ok"]
+    failed = {c["check"] for c in report2["checks"] if not c["ok"]}
+    assert "chunk.bounds_ordered" in failed
