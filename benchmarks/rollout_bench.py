@@ -162,6 +162,47 @@ def main():
     query_s = (time.time() - t0) / iters
     queries_per_s = b / query_s
 
+    # pruned query (round 4): Morton-chunked accel, chunk-AABB cond skip.
+    # Clustered batch = the realistic rollout workload (one agent region);
+    # the same spread batch as above = the pruning-hostile case.
+    from sage3d_tpu.ops.collision import (build_collision_accel,
+                                          capsule_query_pruned)
+    accel = jax.block_until_ready(build_collision_accel(scene))
+    xy_c = jnp.asarray([0.5, -2.0]) + jax.random.uniform(
+        jax.random.PRNGKey(2), (b, 2), jnp.float32, -0.5, 0.5)
+    p0c, p1c, _ = agent_capsule(xy_c)
+
+    def pruned_chain(p0x, p1x):
+        @jax.jit
+        def chain(a, p0x, p1x):
+            def body(_, carry):
+                out = capsule_query_pruned(a, p0x + carry * 1e-9, p1x, r)
+                return jnp.sum(out["clearance"])
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        float(jax.device_get(chain(accel, p0x, p1x)))
+        t0 = time.time()
+        float(jax.device_get(chain(accel, p0x, p1x)))
+        return b * iters / (time.time() - t0)
+
+    pruned_clustered_qps = pruned_chain(p0c, p1c)
+    pruned_spread_qps = pruned_chain(p0, p1)
+    visited = int(jax.device_get(
+        jax.jit(lambda a: capsule_query_pruned(a, p0c, p1c, r)[
+            "chunks_visited"])(accel)))
+
+    # rollout with the pruned query plugged in (full-scene render, so the
+    # delta vs run_single isolates the collision stage's share)
+    def run_single_pruned():
+        out = rollout(scene, grid, start_xy=jnp.asarray([0.0, -6.0]),
+                      start_yaw=jnp.float32(1.57),
+                      goal_xy=jnp.asarray([3.0, 3.0]), n_steps=n_steps,
+                      width=160, height=128, backend="pallas",
+                      use_capsule=True, collision_accel=accel, **budgets160)
+        return out["goal_distance"][-1] + out["min_clearance"][-1] * 0
+
+    pruned_roll_s, _ = measure(run_single_pruned)
+    pruned_steps_per_s = n_steps / pruned_roll_s
+
     print(json.dumps({
         "backend_all_rows": "pallas",
         "rollout_100step_s": round(rollout_s, 3),
@@ -178,6 +219,12 @@ def main():
         "capsule_queries_per_s_vs_1m_gaussians": round(queries_per_s, 1),
         "capsule_query_batch": b,
         "gaussian_capsule_pairs_per_s": round(queries_per_s * 1e6, 0),
+        "pruned_queries_per_s_clustered": round(pruned_clustered_qps, 1),
+        "pruned_queries_per_s_spread": round(pruned_spread_qps, 1),
+        "pruned_chunks_visited_clustered": visited,
+        "pruned_chunks_total": int(accel.aabb_min.shape[0]),
+        "pruned_rollout_env_steps_per_s_160x128": round(
+            pruned_steps_per_s, 2),
     }))
 
 

@@ -21,7 +21,8 @@ from typing import Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.collision import agent_capsule, capsule_query
+from ..ops.collision import (CollisionAccel, agent_capsule, capsule_query,
+                             capsule_query_pruned)
 from ..physics.agent import AgentState, apply_cmd, init_agent
 from ..physics.occupancy import OccupancyGrid
 from ..renderer.camera import agent_camera_jnp
@@ -76,6 +77,7 @@ def _rollout_impl(
     m_big: int = 8192,
     k_big: int = 256,
     render_scene: GaussianScene | None = None,
+    collision_accel: CollisionAccel | None = None,
 ) -> Dict[str, jnp.ndarray]:
     # Policy frames may render a reduced scene (renderer.scene.
     # importance_subset LOD — small frames don't resolve 1M splats anyway)
@@ -98,7 +100,13 @@ def _rollout_impl(
         new_state = apply_cmd(state, grid, vx, 0.0, yaw_rate, duration_s)
         if use_capsule:
             p0, p1, r = agent_capsule(new_state.pos[None, :2])
-            q = capsule_query(scene, p0, p1, r)
+            if collision_accel is not None:
+                # Spatially-pruned query: only chunks near the agent run
+                # (ops/collision.build_collision_accel — the per-step scalar
+                # cond skips far chunks; clearance is margin-clipped).
+                q = capsule_query_pruned(collision_accel, p0, p1, r)
+            else:
+                q = capsule_query(scene, p0, p1, r)
             clearance = q["clearance"][0]
         else:
             clearance = jnp.float32(1e9)
@@ -138,7 +146,8 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                   backend: str = "xla", pair_capacity: int = 1 << 20,
                   tile_capacity: int = 1024, use_capsule: bool = True,
                   duration_s: float = 1.0, k_small: int = 16,
-                  m_big: int = 8192, k_big: int = 256, render_scene=None):
+                  m_big: int = 8192, k_big: int = 256, render_scene=None,
+                  collision_accel=None):
     """vmap-batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
     ONE device program — B environments advance in lockstep, the standard RL
     env-throughput pattern (aggregate env-steps/s = B * n_steps / wall).
@@ -151,7 +160,8 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                              tile_capacity=tile_capacity,
                              use_capsule=use_capsule, duration_s=duration_s,
                              k_small=k_small, m_big=m_big, k_big=k_big,
-                             render_scene=render_scene)
+                             render_scene=render_scene,
+                             collision_accel=collision_accel)
     return jax.vmap(fn)(jnp.asarray(start_xy, jnp.float32),
                         jnp.asarray(start_yaw, jnp.float32),
                         jnp.asarray(goal_xy, jnp.float32))

@@ -209,3 +209,55 @@ def test_capsule_query_matches_dense_reference():
 
     np.testing.assert_allclose(np.asarray(out["clearance"]), want,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pruned_capsule_query_matches_dense():
+    """Spatial pruning must be invisible below the margin: hit/hit_count
+    exact, clearance equal wherever the dense value is below prune_margin,
+    and most chunks skipped for a localized query batch."""
+    import numpy as np
+    from sage3d_tpu.ops.collision import (build_collision_accel,
+                                          capsule_query_pruned)
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(4000, seed=3)
+    accel = build_collision_accel(scene, chunk=256)
+
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(-1.5, 1.5, (9, 2)).astype(np.float32)
+    p0, p1, r = agent_capsule(jnp.asarray(xy))
+
+    dense = capsule_query(scene, p0, p1, r, chunk=512)
+    margin = 1.0
+    pruned = capsule_query_pruned(accel, p0, p1, r, prune_margin=margin)
+
+    np.testing.assert_array_equal(np.asarray(pruned["hit"]),
+                                  np.asarray(dense["hit"]))
+    np.testing.assert_array_equal(np.asarray(pruned["hit_count"]),
+                                  np.asarray(dense["hit_count"]))
+    dc = np.asarray(dense["clearance"])
+    pc = np.asarray(pruned["clearance"])
+    below = dc < margin
+    np.testing.assert_allclose(pc[below], dc[below], rtol=1e-5, atol=1e-5)
+    assert np.all(pc[~below] == margin)
+    # clustered queries in a room-scale scene must skip a good share of chunks
+    visited = int(pruned["chunks_visited"])
+    n_chunks = accel.aabb_min.shape[0]
+    assert visited < n_chunks, (visited, n_chunks)
+
+
+def test_pruned_query_skips_far_chunks():
+    """A query far from everything visits zero chunks and reports margin."""
+    import numpy as np
+    from sage3d_tpu.ops.collision import (build_collision_accel,
+                                          capsule_query_pruned)
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(1000, seed=5)
+    accel = build_collision_accel(scene, chunk=256)
+    p0, p1, r = agent_capsule(jnp.array([[500.0, 500.0]]))
+    out = capsule_query_pruned(accel, p0, p1, r, prune_margin=0.5)
+    assert int(out["chunks_visited"]) == 0
+    assert float(out["clearance"][0]) == 0.5
+    assert not bool(out["hit"][0])
+    assert int(out["nearest_id"][0]) == -1

@@ -87,3 +87,31 @@ def test_rollout_with_lod_render_scene():
                   pair_capacity=1 << 14, tile_capacity=256, render_scene=lod)
     assert out["positions"].shape == (4, 3)
     assert bool(jnp.all(jnp.isfinite(out["min_clearance"])))
+
+
+def test_rollout_with_pruned_collision_matches_dense():
+    """collision_accel plugs the spatially-pruned capsule query into the
+    jitted episode; clearance below the margin must match the dense query."""
+    from sage3d_tpu.ops.collision import build_collision_accel
+
+    scene = synthetic_room(num_gaussians=600, seed=4)
+    obstacle = np.zeros((200, 200), np.uint8)
+    obstacle[:2, :] = 1
+    obstacle[-2:, :] = 1
+    obstacle[:, :2] = 1
+    obstacle[:, -2:] = 1
+    grid = grid_from_mask(obstacle, bounds=[-5.0, 5.0, -5.0, 5.0])
+    accel = build_collision_accel(scene, chunk=256)
+
+    kw = dict(start_xy=[1.0, 1.0], start_yaw=0.5, goal_xy=[-2.0, -2.0],
+              n_steps=8, width=64, height=48, backend="xla",
+              pair_capacity=1 << 14, tile_capacity=512, use_capsule=True)
+    dense = rollout(scene, grid, **kw)
+    pruned = rollout(scene, grid, collision_accel=accel, **kw)
+    np.testing.assert_allclose(np.asarray(pruned["positions"]),
+                               np.asarray(dense["positions"]), atol=1e-5)
+    dc = np.asarray(dense["min_clearance"])
+    pc = np.asarray(pruned["min_clearance"])
+    below = dc < 2.0   # default prune_margin
+    np.testing.assert_allclose(pc[below], dc[below], rtol=1e-5, atol=1e-5)
+    assert np.all(pc <= 2.0 + 1e-6)
