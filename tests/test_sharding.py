@@ -220,3 +220,24 @@ def test_multihost_two_process_dryrun():
     assert report["ok"]
     assert report["written_collectives"]["all_gather"] >= 20
     assert len(report["episodes_by_host"]) == 2
+
+
+def test_tpu_schedule_overlap_audit():
+    """VERDICT r3 #6 (overlap evidence): AOT-compile the sharded step with
+    the REAL TPU compiler against a local v5e:2x4 topology and assert the
+    bucketed parameter all-gathers are scheduled async with compute
+    interleaved. (~30 s local libtpu compile; skipped when the environment
+    has no local TPU topology support.)"""
+    import pytest
+
+    from sage3d_tpu.parallel.audit import audit_tpu_schedule
+
+    try:
+        report = audit_tpu_schedule()
+    except RuntimeError as e:
+        pytest.skip(str(e))
+    assert report["all_gathers"]["async"] >= 20
+    assert report["all_gathers"]["fusions_interleaved"] > 0
+    # gradient reduction exists (merged or bucketed — XLA's call, observed)
+    assert (report["grad_all_reduces"]["total"]
+            + report["grad_all_reduces"]["reduce_scatters_surviving"]) >= 1
