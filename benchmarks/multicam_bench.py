@@ -78,9 +78,25 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
         dt = (time.time() - t0) / iters
         return dt, first
 
+    # Round-4 variant: lax.map (sequential cameras, ONE program) instead of
+    # vmap. The round-3 sweep measured the vmapped batch at ~1/3 the
+    # per-pixel rate of a single camera (5.58 vs 16.7 Mpix/s fwd) with no
+    # HBM spill (AOT memory analysis: 6.3 GB temp) — this row isolates
+    # whether batching-by-vmap itself is the regression.
+    @jax.jit
+    def fwd_loop_seq(s, c):
+        def body(i, c):
+            s2 = s._replace(opacity_logits=s.opacity_logits + c * 0)
+            vals = jax.lax.map(lambda cam: one_fwd(s2, cam), cams)
+            return jnp.sum(vals) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, c)
+
     fwd_dt, fwd_first = timeit(fwd_loop)
     log(f"fwd batch-{batch}: {fwd_dt*1e3:.1f} ms "
         f"({px/fwd_dt/1e6:.1f} Mpix/s, first {fwd_first:.0f}s)")
+    seq_dt, seq_first = timeit(fwd_loop_seq)
+    log(f"fwd lax.map-{batch}: {seq_dt*1e3:.1f} ms "
+        f"({px/seq_dt/1e6:.1f} Mpix/s, first {seq_first:.0f}s)")
     bwd_dt, bwd_first = timeit(bwd_loop)
     log(f"fwd+bwd batch-{batch}: {bwd_dt*1e3:.1f} ms "
         f"({px/bwd_dt/1e6:.1f} Mpix/s, first {bwd_first:.0f}s)")
@@ -91,6 +107,8 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
         "n_gaussians": n_gauss,
         "fwd_s": round(fwd_dt, 4),
         "fwd_mpix_per_s": round(px / fwd_dt / 1e6, 2),
+        "fwd_seq_s": round(seq_dt, 4),
+        "fwd_seq_mpix_per_s": round(px / seq_dt / 1e6, 2),
         "fwd_bwd_s": round(bwd_dt, 4),
         "fwd_bwd_mpix_per_s": round(px / bwd_dt / 1e6, 2),
         "budgets": budgets,

@@ -223,15 +223,25 @@ def render(
     }
 
 
-def render_batch(scene: GaussianScene, cameras: Camera, **kw) -> Dict[str, jnp.ndarray]:
+def render_batch(scene: GaussianScene, cameras: Camera,
+                 sequential: bool = False, **kw) -> Dict[str, jnp.ndarray]:
     """Render a stacked Camera batch (leading axis on all camera fields).
 
     Replaces the reference's per-waypoint serial Isaac renders
     (generate_images.py:408-456 — 3 `world.step(render=True)` per frame): on TPU
-    the camera batch is one vmapped program, so waypoint rendering for training
-    data is a single device launch per batch.
+    the camera batch is one program, a single device launch per batch.
+
+    ``sequential=True`` runs the cameras through ``lax.map`` (one at a time,
+    still ONE program) instead of ``vmap``. At large scenes the vmapped form
+    measured ~3x slower PER PIXEL than a single camera on v5e (round-3
+    multicam row: 5.58 vs 16.7 Mpix/s fwd at 1080p/1M with no HBM spill), so
+    big offline batches should prefer the sequential form; tiny rollout
+    frames keep vmap.
     """
-    return jax.vmap(lambda c: render(scene, c, **kw))(cameras)
+    fn = lambda c: render(scene, c, **kw)  # noqa: E731
+    if sequential:
+        return jax.lax.map(fn, cameras)
+    return jax.vmap(fn)(cameras)
 
 
 def rgb_to_uint8(rgb: jnp.ndarray) -> jnp.ndarray:
