@@ -96,6 +96,18 @@ def main():
     batch_s, batch_compile_s = measure(run_batch)
     batch_steps_per_s = B * n_steps / batch_s
 
+    # round 4: same batch through lax.map (sequential episodes, ONE program)
+    # — at full-scene budgets the vmapped pair sorts made batch-8 SLOWER in
+    # aggregate than one env (r3 sweep: 17.2 vs 42.6); this row isolates it.
+    def run_batch_map():
+        out = rollout_batch(scene, grid, starts, yaws, goals, n_steps=n_steps,
+                            width=160, height=128, backend="pallas",
+                            use_capsule=True, batch_mode="map", **budgets160)
+        return jnp.sum(out["goal_distance"][:, -1])
+
+    batch_map_s, _ = measure(run_batch_map)
+    batch_map_steps_per_s = B * n_steps / batch_map_s
+
     # 640x480 single-env rate (the reference env's native resolution)
     budgets640 = tuned(640, 480)
 
@@ -208,6 +220,7 @@ def main():
         "rollout_100step_s": round(rollout_s, 3),
         "env_steps_per_s_160x128": round(steps_per_s, 2),
         "batch8_env_steps_per_s_160x128": round(batch_steps_per_s, 2),
+        "batch8_map_env_steps_per_s_160x128": round(batch_map_steps_per_s, 2),
         "env_steps_per_s_640x480": round(steps_640_per_s, 2),
         "lod131k_env_steps_per_s_160x128": round(lod_steps_per_s, 2),
         "lod131k_batch8_env_steps_per_s_160x128": round(

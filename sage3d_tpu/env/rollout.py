@@ -140,18 +140,24 @@ _ROLLOUT_STATICS = ("n_steps", "width", "height", "backend", "pair_capacity",
 rollout = partial(jax.jit, static_argnames=_ROLLOUT_STATICS)(_rollout_impl)
 
 
-@partial(jax.jit, static_argnames=_ROLLOUT_STATICS)
+@partial(jax.jit, static_argnames=_ROLLOUT_STATICS + ("batch_mode",))
 def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                   n_steps: int = 100, width: int = 160, height: int = 120,
                   backend: str = "xla", pair_capacity: int = 1 << 20,
                   tile_capacity: int = 1024, use_capsule: bool = True,
                   duration_s: float = 1.0, k_small: int = 16,
                   m_big: int = 8192, k_big: int = 256, render_scene=None,
-                  collision_accel=None):
-    """vmap-batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
-    ONE device program — B environments advance in lockstep, the standard RL
+                  collision_accel=None, batch_mode: str = "vmap"):
+    """Batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
+    ONE device program — B environments advance together, the standard RL
     env-throughput pattern (aggregate env-steps/s = B * n_steps / wall).
     Per-step fixed costs (launch, small-op latency) amortize across the batch.
+
+    ``batch_mode``: "vmap" runs the B episodes in lockstep (best for small
+    LOD frames); "map" runs them sequentially via lax.map in the same single
+    program — at FULL-scene budgets the vmapped pair sorts measured ~2.5x
+    slower aggregate than one env alone on v5e (round-3 sweep: batch-8
+    17.2 vs single 42.6 env-steps/s), so big-budget batches prefer "map".
     """
     def fn(s, y, g):
         return _rollout_impl(scene, grid, s, y, g, n_steps=n_steps,
@@ -162,6 +168,9 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                              k_small=k_small, m_big=m_big, k_big=k_big,
                              render_scene=render_scene,
                              collision_accel=collision_accel)
-    return jax.vmap(fn)(jnp.asarray(start_xy, jnp.float32),
-                        jnp.asarray(start_yaw, jnp.float32),
-                        jnp.asarray(goal_xy, jnp.float32))
+    args = (jnp.asarray(start_xy, jnp.float32),
+            jnp.asarray(start_yaw, jnp.float32),
+            jnp.asarray(goal_xy, jnp.float32))
+    if batch_mode == "map":
+        return jax.lax.map(lambda a: fn(*a), args)
+    return jax.vmap(fn)(*args)
