@@ -92,11 +92,9 @@ def bench_backend(scene, camera, backend: str, budgets, iters: int = 12,
     # the tunneled compile service rejects oversized modules).
     def loss(opacity_logits, s, c):
         s = s._replace(opacity_logits=opacity_logits + c * 0)
+        from sage3d_tpu.renderer.render import budget_kwargs
         out = render(s, camera, backend=backend,
-                     pair_capacity=budgets["pair_capacity"],
-                     tile_capacity=budgets["tile_capacity"],
-                     k_small=budgets["k_small"], m_big=budgets["m_big"],
-                     k_big=budgets["k_big"], grad_sort_bf16=grad_sort_bf16)
+                     grad_sort_bf16=grad_sort_bf16, **budget_kwargs(budgets))
         return (jnp.sum(out["rgb"] ** 2) * 1e-9
                 + jnp.sum(out["depth_acc"]) * 1e-12
                 + jnp.sum(out["alpha"]) * 1e-12)
@@ -123,10 +121,8 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
     import numpy as np
     from sage3d_tpu.renderer.render import render
 
-    kw = dict(pair_capacity=budgets["pair_capacity"],
-              tile_capacity=budgets["tile_capacity"],
-              k_small=budgets["k_small"],
-              m_big=budgets["m_big"], k_big=budgets["k_big"])
+    from sage3d_tpu.renderer.render import budget_kwargs
+    kw = budget_kwargs(budgets)
 
     outs = {}
     for backend in ("pallas", "xla"):
@@ -221,12 +217,9 @@ def main():
     def sh3_loss(params, s, c):
         s = s._replace(sh=params["sh"],
                        opacity_logits=params["opacity_logits"] + c * 0)
+        from sage3d_tpu.renderer.render import budget_kwargs
         out = _render(s, camera, backend="pallas",
-                      pair_capacity=budgets_sh3["pair_capacity"],
-                      tile_capacity=budgets_sh3["tile_capacity"],
-                      k_small=budgets_sh3["k_small"],
-                      m_big=budgets_sh3["m_big"],
-                      k_big=budgets_sh3["k_big"])
+                      **budget_kwargs(budgets_sh3))
         return jnp.sum(out["rgb"] ** 2) * 1e-9
 
     sh3_grad = jax.grad(sh3_loss)

@@ -48,7 +48,9 @@ PAIR_CAP = budgets["pair_capacity"]
 def prepare(s):
     proj = project_gaussians(s, camera)
     bins = bin_gaussians(proj, WIDTH, HEIGHT, k_small=budgets["k_small"],
-                         m_big=budgets["m_big"], k_big=budgets["k_big"])
+                         m_big=budgets["m_big"], k_big=budgets["k_big"],
+                         m_mid=budgets.get("m_mid", 0),
+                         k_mid=budgets.get("k_mid", 0))
     n = proj.depths.shape[0]
     attrs = jnp.stack([
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],

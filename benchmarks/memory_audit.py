@@ -50,7 +50,8 @@ def main(n_gauss=1_000_000, width=1920, height=1080):
     kw = dict(pair_capacity=budgets["pair_capacity"],
               tile_capacity=budgets["tile_capacity"],
               k_small=budgets["k_small"], m_big=budgets["m_big"],
-              k_big=budgets["k_big"])
+              k_big=budgets["k_big"],
+              m_mid=budgets.get("m_mid", 0), k_mid=budgets.get("k_mid", 0))
 
     def fwd(s):
         out = render(s, camera, backend="pallas", **kw)

@@ -34,10 +34,8 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
         for i in range(batch)])
     budgets = autotune_poses(scene, cams, pair_margin=1.2)
     log(f"shared budgets over {batch} cams: {budgets}")
-    kw = dict(pair_capacity=budgets["pair_capacity"],
-              tile_capacity=budgets["tile_capacity"],
-              k_small=budgets["k_small"], m_big=budgets["m_big"],
-              k_big=budgets["k_big"])
+    from sage3d_tpu.renderer.render import budget_kwargs
+    kw = budget_kwargs(budgets)
 
     def one_fwd(s, cam):
         out = render(s, cam, backend="pallas", **kw)

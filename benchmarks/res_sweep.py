@@ -36,11 +36,9 @@ def fwd_only(scene, camera, budgets, iters=8):
     def loop(s, c):
         def body(i, c):
             s2 = s._replace(opacity_logits=s.opacity_logits + c * 0)
+            from sage3d_tpu.renderer.render import budget_kwargs
             out = render(s2, camera, backend="pallas",
-                         pair_capacity=budgets["pair_capacity"],
-                         tile_capacity=budgets["tile_capacity"],
-                         k_small=budgets["k_small"], m_big=budgets["m_big"],
-                         k_big=budgets["k_big"])
+                         **budget_kwargs(budgets))
             return jnp.sum(out["rgb"]) * 1e-12 + out[
                 "overflow"].astype(jnp.float32) * 0
         return jax.lax.fori_loop(0, iters, body, c)
@@ -67,11 +65,10 @@ def main():
         log(f"{name} fwd+bwd: {dt_fb*1e3:.1f} ms ({mpix_fb:.2f} Mpix/s)")
         overflow = int(jax.device_get(jax.jit(
             lambda s: render(s, cam, backend="pallas",
-                             pair_capacity=budgets["pair_capacity"],
-                             tile_capacity=budgets["tile_capacity"],
-                             k_small=budgets["k_small"],
-                             m_big=budgets["m_big"],
-                             k_big=budgets["k_big"])["overflow"])(scene)))
+                             **__import__("sage3d_tpu.renderer.render",
+                                          fromlist=["budget_kwargs"]
+                                          ).budget_kwargs(budgets)
+                             )["overflow"])(scene)))
         results[name] = {"fwd_ms": round(dt_f * 1e3, 1),
                          "fwd_mpix_s": round(w * h / dt_f / 1e6, 2),
                          "fwdbwd_ms": round(dt_fb * 1e3, 1),

@@ -51,10 +51,9 @@ def main():
         cams = stack_cameras([
             agent_camera(pos, yaw=i * 0.7854, width=width, height=height)
             for pos in ((0.0, -6.0), (1.5, -1.0)) for i in range(8)])
+        from sage3d_tpu.renderer.render import budget_kwargs
         b = autotune_poses(scene if s is None else s, cams, pair_margin=1.5)
-        return dict(pair_capacity=b["pair_capacity"], k_small=b["k_small"],
-                    m_big=b["m_big"], k_big=b["k_big"],
-                    tile_capacity=b["tile_capacity"])
+        return budget_kwargs(b)
 
     def measure(fn):
         t0 = time.time()

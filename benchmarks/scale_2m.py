@@ -38,10 +38,10 @@ def main():
     mpix, dt, compile_s = bench_backend(scene, cam, "pallas", budgets)
     overflow = int(jax.device_get(jax.jit(
         lambda s: render(s, cam, backend="pallas",
-                         pair_capacity=budgets["pair_capacity"],
-                         tile_capacity=budgets["tile_capacity"],
-                         k_small=budgets["k_small"], m_big=budgets["m_big"],
-                         k_big=budgets["k_big"])["overflow"])(scene)))
+                         **__import__("sage3d_tpu.renderer.render",
+                                      fromlist=["budget_kwargs"]
+                                      ).budget_kwargs(budgets)
+                         )["overflow"])(scene)))
     log(f"2M fwd+bwd: {dt*1e3:.1f} ms ({mpix:.2f} Mpix/s) overflow={overflow}")
     print(json.dumps({"n_gaussians": n, "fwdbwd_ms": round(dt * 1e3, 1),
                       "fwdbwd_mpix_s": round(mpix, 2), "overflow": overflow,

@@ -126,7 +126,10 @@ def main():
                           pair_capacity=budgets["pair_capacity"],
                           tile_capacity=budgets["tile_capacity"],
                           k_small=budgets["k_small"], m_big=budgets["m_big"],
-                          k_big=budgets["k_big"], grad_sort_bf16=bf16)
+                          k_big=budgets["k_big"],
+                          m_mid=budgets.get("m_mid", 0),
+                          k_mid=budgets.get("k_mid", 0),
+                          grad_sort_bf16=bf16)
             return jnp.sum(out["rgb"] ** 2) * 1e-9
         g32 = jax.grad(lambda op: loss(op, False))(s.opacity_logits)
         g16 = jax.grad(lambda op: loss(op, True))(s.opacity_logits)

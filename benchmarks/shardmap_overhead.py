@@ -42,7 +42,8 @@ def main():
     kw = dict(pair_capacity=budgets["pair_capacity"],
               tile_capacity=budgets["tile_capacity"],
               k_small=budgets["k_small"], m_big=budgets["m_big"],
-              k_big=budgets["k_big"])
+              k_big=budgets["k_big"],
+              m_mid=budgets.get("m_mid", 0), k_mid=budgets.get("k_mid", 0))
     mesh = make_mesh((1, 1))
     opt = make_group_optimizer(extent=8.0)
     params = scene_params(scene)

@@ -61,10 +61,8 @@ camera = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
                      width=WIDTH, height=HEIGHT, focal_mm=14.0)
 budgets = autotune(scene, camera)
 log(f"budgets: {budgets}")
-KW = dict(pair_capacity=budgets["pair_capacity"],
-          tile_capacity=budgets["tile_capacity"],
-          k_small=budgets["k_small"], m_big=budgets["m_big"],
-          k_big=budgets["k_big"])
+from sage3d_tpu.renderer.render import budget_kwargs
+KW = budget_kwargs(budgets)
 
 
 def build_proj():
@@ -81,7 +79,8 @@ def build_binning():
         p = project_gaussians(s, camera)
         # consume the SORTED outputs so the sort isn't DCE'd
         b = bin_gaussians(p, WIDTH, HEIGHT, k_small=KW["k_small"],
-                          m_big=KW["m_big"], k_big=KW["k_big"])
+                          m_big=KW["m_big"], k_big=KW["k_big"],
+                          m_mid=KW["m_mid"], k_mid=KW["k_mid"])
         return (jnp.sum(b.pair_gauss[:1024].astype(jnp.float32)) * 1e-9
                 + b.n_pairs.astype(jnp.float32) * 1e-9
                 + jnp.sum(b.tile_count.astype(jnp.float32)) * 1e-12)

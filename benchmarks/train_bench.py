@@ -69,7 +69,9 @@ def main():
                                     tile_capacity=budgets["tile_capacity"],
                                     k_small=budgets["k_small"],
                                     m_big=budgets["m_big"],
-                                    k_big=budgets["k_big"])
+                                    k_big=budgets["k_big"],
+                                    m_mid=budgets.get("m_mid", 0),
+                                    k_mid=budgets.get("k_mid", 0))
     params = scene_params(init)
     state = TrainState(params=params, opt_state=opt.init(params),
                        step=jnp.zeros((), jnp.int32))

@@ -40,9 +40,8 @@ def main():
     cam = agent_camera((0.0, -3.5), yaw=1.57, width=640, height=480)
     b = autotune_all(scene, cam)
     log(f"autotuned budgets: {b}")
-    kw = dict(pair_capacity=b["pair_capacity"],
-              tile_capacity=b["tile_capacity"],
-              k_small=b["k_small"], m_big=b["m_big"], k_big=b["k_big"])
+    from sage3d_tpu.renderer.render import budget_kwargs
+    kw = budget_kwargs(b)
 
     outs = {}
     for backend in ("pallas", "xla"):

@@ -76,6 +76,8 @@ def _rollout_impl(
     k_small: int = 16,
     m_big: int = 8192,
     k_big: int = 256,
+    m_mid: int = 0,
+    k_mid: int = 0,
     render_scene: GaussianScene | None = None,
     collision_accel: CollisionAccel | None = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -94,7 +96,8 @@ def _rollout_impl(
                                height=height)
         out = render(render_scene, cam, backend=backend,
                      pair_capacity=pair_capacity, tile_capacity=tile_capacity,
-                     k_small=k_small, m_big=m_big, k_big=k_big)
+                     k_small=k_small, m_big=m_big, k_big=k_big,
+                     m_mid=m_mid, k_mid=k_mid)
         vx, yaw_rate = depth_seek_policy(out["depth"], state.pos[:2],
                                          state.yaw, goal_xy)
         new_state = apply_cmd(state, grid, vx, 0.0, yaw_rate, duration_s)
@@ -134,7 +137,7 @@ def _rollout_impl(
 
 _ROLLOUT_STATICS = ("n_steps", "width", "height", "backend", "pair_capacity",
                     "tile_capacity", "use_capsule", "k_small", "m_big",
-                    "k_big")
+                    "k_big", "m_mid", "k_mid")
 
 # Run one fully-on-device episode (single launch per episode).
 rollout = partial(jax.jit, static_argnames=_ROLLOUT_STATICS)(_rollout_impl)
@@ -146,7 +149,8 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                   backend: str = "xla", pair_capacity: int = 1 << 20,
                   tile_capacity: int = 1024, use_capsule: bool = True,
                   duration_s: float = 1.0, k_small: int = 16,
-                  m_big: int = 8192, k_big: int = 256, render_scene=None,
+                  m_big: int = 8192, k_big: int = 256, m_mid: int = 0,
+                  k_mid: int = 0, render_scene=None,
                   collision_accel=None, batch_mode: str = "vmap"):
     """Batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
     ONE device program — B environments advance together, the standard RL
@@ -166,6 +170,7 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                              tile_capacity=tile_capacity,
                              use_capsule=use_capsule, duration_s=duration_s,
                              k_small=k_small, m_big=m_big, k_big=k_big,
+                             m_mid=m_mid, k_mid=k_mid,
                              render_scene=render_scene,
                              collision_accel=collision_accel)
     args = (jnp.asarray(start_xy, jnp.float32),

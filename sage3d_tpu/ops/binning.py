@@ -289,7 +289,8 @@ def _emit_fused(attrs, rank, tiles_x, n_tiles, tile_w: int, tile_h: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "pair_capacity",
                                    "max_tiles_per_gaussian", "tile_w", "tile_h",
-                                   "k_small", "m_big", "k_big"))
+                                   "k_small", "m_big", "k_big", "m_mid",
+                                   "k_mid"))
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
@@ -301,8 +302,20 @@ def bin_gaussians(
     k_small: int = K1_DEFAULT,
     m_big: int = M_BIG_DEFAULT,
     k_big: int = K2_DEFAULT,
+    m_mid: int = 0,
+    k_mid: int = 0,
 ) -> TileBins:
-    """Build per-tile depth-ordered Gaussian lists. Indices carry no gradient."""
+    """Build per-tile depth-ordered Gaussian lists. Indices carry no gradient.
+
+    Emission tiers: every Gaussian gets ``k_small`` slots; the top ``m_big``
+    spanners (by AABB tile count) get ``k_big``. When ``m_mid``/``k_mid`` are
+    set, a THIRD tier slots the mid-size spanners (k_small < count <= k_mid)
+    at ``k_mid`` each, and the big tier only takes count > k_mid — at
+    1080p/1M this cuts the sorted emission array ~40% (the k_small budget no
+    longer has to cover the mid population), shrinking the emit kernel, the
+    pair sort, and every downstream P-sized stage. Budget choice including
+    the 3-tier option lives in ``_pick_budgets``.
+    """
     del pair_capacity, max_tiles_per_gaussian
     tiles_x, tiles_y = num_tiles(width, height, tile_w, tile_h)
     n_tiles = tiles_x * tiles_y
@@ -331,11 +344,19 @@ def bin_gaussians(
 
     small = count <= k_small
     mult = (1 << rank_bits) if fused_ok else 0
+    use_mid = m_mid > 0 and k_mid > k_small
+    m_mid = max(min(m_mid, n), 1) if use_mid else 1
 
     # Large spanners: top m_big by count (one more N-argsort), budget k_big.
-    big_score = jnp.where(vis & ~small, count, -1)
+    # With the mid tier active the big tier only takes count > k_mid.
+    big_floor = k_mid if use_mid else k_small
+    big_score = jnp.where(vis & (count > big_floor), count, -1)
     big_idx = jnp.argsort(-big_score)[:m_big]
     big_sel = big_score[big_idx] > 0
+    if use_mid:
+        mid_score = jnp.where(vis & ~small & (count <= k_mid), count, -1)
+        mid_idx = jnp.argsort(-mid_score)[:m_mid]
+        mid_sel = mid_score[mid_idx] > 0
 
     # Emission + cull + key build fused in a Pallas kernel (k-major layout —
     # pair order is irrelevant pre-sort). Outputs are fused keys (mult>0) or
@@ -376,12 +397,26 @@ def bin_gaussians(
     g_big = jnp.broadcast_to(
         jnp.pad(big_idx.astype(jnp.int32), (0, n_pad_b - m_big))[None, :],
         (k_big, n_pad_b))
-    gauss = jnp.concatenate([g_small.reshape(-1), g_big.reshape(-1)])
+    key_parts = [out_small.reshape(-1), out_big.reshape(-1)]
+    gauss_parts = [g_small.reshape(-1), g_big.reshape(-1)]
+    if use_mid:
+        attrs_mid = jnp.transpose(rows[mid_idx], (1, 0))
+        attrs_mid = attrs_mid.at[3].set(
+            jnp.where(mid_sel, attrs_mid[3], 0.0))  # count <= k_mid by sel
+        rank_mid = jax.lax.bitcast_convert_type(attrs_mid[7], jnp.int32)
+        out_mid, n_pad_m = _emit_fused(attrs_mid, rank_mid, tiles_x, n_tiles,
+                                       tile_w, tile_h, k_mid, mult)
+        g_mid = jnp.broadcast_to(
+            jnp.pad(mid_idx.astype(jnp.int32), (0, n_pad_m - m_mid))[None, :],
+            (k_mid, n_pad_m))
+        key_parts.insert(1, out_mid.reshape(-1))
+        gauss_parts.insert(1, g_mid.reshape(-1))
+    gauss = jnp.concatenate(gauss_parts)
 
     # 3. One sort orders everything per-tile front-to-back.
     tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     if fused_ok:
-        keys = jnp.concatenate([out_small.reshape(-1), out_big.reshape(-1)])
+        keys = jnp.concatenate(key_parts)
         keys_sorted, pair_gauss = jax.lax.sort(
             (keys, gauss), dimension=0, is_stable=False, num_keys=1)
         bounds = jnp.searchsorted(keys_sorted, tile_ids * mult,
@@ -390,14 +425,19 @@ def bin_gaussians(
         # 4K+ path: two-key sort, no resolution cap from the fused key.
         # Ranks can exceed 2^24, so they ride their own int32 broadcast and
         # never pass through the kernel's f32 lanes.
-        tids = jnp.concatenate([out_small.reshape(-1), out_big.reshape(-1)])
+        tids = jnp.concatenate(key_parts)
         rank_small = jnp.broadcast_to(
             jnp.pad(rank, (0, n_pad_s - n))[None, :], (k_small, n_pad_s))
         rank_big2 = jnp.broadcast_to(
             jnp.pad(rank_big, (0, n_pad_b - m_big))[None, :],
             (k_big, n_pad_b))
-        ranks = jnp.concatenate([rank_small.reshape(-1),
-                                 rank_big2.reshape(-1)])
+        rank_parts = [rank_small.reshape(-1), rank_big2.reshape(-1)]
+        if use_mid:
+            rank_mid2 = jnp.broadcast_to(
+                jnp.pad(rank_mid, (0, n_pad_m - m_mid))[None, :],
+                (k_mid, n_pad_m))
+            rank_parts.insert(1, rank_mid2.reshape(-1))
+        ranks = jnp.concatenate(rank_parts)
         tids_sorted, _, pair_gauss = jax.lax.sort(
             (tids, ranks, gauss), dimension=0, is_stable=False, num_keys=2)
         bounds = jnp.searchsorted(tids_sorted, tile_ids,
@@ -406,12 +446,15 @@ def bin_gaussians(
     tile_count = bounds[1:] - bounds[:-1]
 
     # Overflow accounting (conservative overestimate: AABB counts, pre-cull):
-    # big Gaussians clipped at k_big, plus non-selected spanners dropped whole.
+    # big Gaussians clipped at k_big, plus non-selected spanners dropped whole
+    # (spanner counts not covered by the big tier or, when active, the mid
+    # tier — mid entries are never clipped since selection caps count<=k_mid).
     clipped_big = jnp.sum(jnp.where(big_sel,
                                     jnp.maximum(count[big_idx] - k_big, 0), 0))
-    dropped_whole = jnp.sum(
-        jnp.where(vis & ~small, count, 0)) - jnp.sum(
-        jnp.where(big_sel, count[big_idx], 0))
+    covered = jnp.sum(jnp.where(big_sel, count[big_idx], 0))
+    if use_mid:
+        covered = covered + jnp.sum(jnp.where(mid_sel, count[mid_idx], 0))
+    dropped_whole = jnp.sum(jnp.where(vis & ~small, count, 0)) - covered
 
     return TileBins(
         pair_gauss=pair_gauss,
@@ -474,17 +517,35 @@ def suggest_budgets(proj: ProjectedGaussians, width: int, height: int,
 
 
 def _pick_budgets(stats: dict, n: int) -> dict:
-    """Host-side budget choice from fetched `pair_count_stats` scalars."""
+    """Host-side budget choice from fetched `pair_count_stats` scalars.
+
+    Considers both the 2-tier (small/big) and the 3-tier (small/mid/big)
+    emission layouts and picks the smaller total emission array — at
+    1080p/1M the mid tier roughly halves the sorted array (the k_small
+    budget no longer has to cover the mid-size spanner population). The
+    3-tier form costs one extra N-argsort + emit call, so it must win by
+    >=20% to be chosen."""
     max_count = int(stats["max_count"])
     sum_count = sum(int(p) for p in stats["sum_count_parts"])
+    exceed = [int(e) for e in stats["exceed"]]
     k_big = max(_pow2_at_least(max_count), 8)
+
+    def msize(n_exceed):
+        return max(_pow2_at_least(n_exceed + max(n_exceed // 8, 16)), 32)
+
     best = None
-    for k1, n_exceed in zip(SUGGEST_THRESHOLDS, stats["exceed"]):
-        m = max(_pow2_at_least(int(n_exceed) + max(int(n_exceed) // 8, 16)), 32)
-        emission = n * k1 + m * k_big
+    for k1, e1 in zip(SUGGEST_THRESHOLDS, exceed):
+        emission = n * k1 + msize(e1) * k_big
         if best is None or emission < best[0]:
-            best = (emission, k1, m)
-    _, k_small, m_big = best
+            best = (emission, k1, msize(e1), 0, 0)
+    for i, (k1, e1) in enumerate(zip(SUGGEST_THRESHOLDS, exceed)):
+        for k2, e2 in zip(SUGGEST_THRESHOLDS[i + 1:], exceed[i + 1:]):
+            m_mid = msize(e1 - e2)
+            m_big3 = msize(e2)
+            emission = n * k1 + m_mid * k2 + m_big3 * k_big
+            if emission < best[0] * 0.8:
+                best = (emission, k1, m_big3, m_mid, k2)
+    _, k_small, m_big, m_mid, k_mid = best
     # 128-multiple (the kernel's chunk size), NOT pow2: every downstream stage
     # (feature row-gather, VJP sort + gradient-row gather + cumsum) is
     # proportional to the static capacity, so pow2-rounding a 5.03M workload
@@ -494,6 +555,8 @@ def _pick_budgets(stats: dict, n: int) -> dict:
         "k_small": int(k_small),
         "m_big": int(m_big),
         "k_big": int(k_big),
+        "m_mid": int(m_mid),
+        "k_mid": int(k_mid),
         "pair_capacity": int(pair_capacity),
         "n_pairs_upper": sum_count,
     }

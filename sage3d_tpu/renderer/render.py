@@ -75,7 +75,9 @@ def autotune_all(scene: GaussianScene, camera: Camera,
         proj = project_gaussians(s, camera, sh_degree=sh_degree)
         bins = bin_gaussians(proj, camera.width, camera.height,
                              k_small=budgets["k_small"],
-                             m_big=budgets["m_big"], k_big=budgets["k_big"])
+                             m_big=budgets["m_big"], k_big=budgets["k_big"],
+                             m_mid=budgets.get("m_mid", 0),
+                             k_mid=budgets.get("k_mid", 0))
         return jnp.max(bins.tile_count), bins.n_pairs
 
     max_tile, n_pairs = jax.device_get(bin_stats(scene))
@@ -129,7 +131,9 @@ def autotune_poses(scene: GaussianScene, cameras, pair_margin: float = 1.5,
             bins = bin_gaussians(proj, width, height,
                                  k_small=budgets["k_small"],
                                  m_big=budgets["m_big"],
-                                 k_big=budgets["k_big"])
+                                 k_big=budgets["k_big"],
+                                 m_mid=budgets.get("m_mid", 0),
+                                 k_mid=budgets.get("k_mid", 0))
             return jnp.max(bins.tile_count), bins.n_pairs
         mt, np_ = jax.vmap(one)(cams)
         return jnp.max(mt), jnp.max(np_)
@@ -141,6 +145,17 @@ def autotune_poses(scene: GaussianScene, cameras, pair_margin: float = 1.5,
     tight = -(-int(int(n_pairs) * pair_margin + 256) // 128) * 128
     budgets["pair_capacity"] = min(budgets["pair_capacity"], tight)
     return budgets
+
+
+def budget_kwargs(budgets: Dict[str, int]) -> Dict[str, int]:
+    """Map an autotune_* budgets dict onto render()'s static kwargs (incl.
+    the optional 3-tier emission budgets, absent pre-round-4 dicts)."""
+    out = {k: int(budgets[k]) for k in ("pair_capacity", "tile_capacity",
+                                        "k_small", "m_big", "k_big")
+           if k in budgets}
+    out["m_mid"] = int(budgets.get("m_mid", 0))
+    out["k_mid"] = int(budgets.get("k_mid", 0))
+    return out
 
 
 def default_pair_capacity(n_gaussians: int, width: int, height: int) -> int:
@@ -167,6 +182,8 @@ def render(
     k_small: int = 16,
     m_big: int = 8192,
     k_big: int = 256,
+    m_mid: int = 0,
+    k_mid: int = 0,
     grad_sort_bf16: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
@@ -190,7 +207,8 @@ def render(
         if pair_capacity is None:
             pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
         bins = bin_gaussians(proj, width, height, k_small=k_small,
-                             m_big=m_big, k_big=k_big)
+                             m_big=m_big, k_big=k_big, m_mid=m_mid,
+                             k_mid=k_mid)
         out = composite_tiles(proj, scene.semantic_ids, bins, width, height,
                               tile_capacity=tile_capacity, chunk=chunk)
         overflow = bins.overflow + out.pop("tile_overflow")
@@ -199,7 +217,8 @@ def render(
         if pair_capacity is None:
             pair_capacity = default_pair_capacity(scene.num_gaussians, width, height)
         bins = bin_gaussians(proj, width, height, k_small=k_small,
-                             m_big=m_big, k_big=k_big)
+                             m_big=m_big, k_big=k_big, m_mid=m_mid,
+                             k_mid=k_mid)
         out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width,
                                      height, tile_capacity=tile_capacity,
                                      pair_capacity=pair_capacity,

@@ -91,10 +91,10 @@ def test_m_big_spill_is_counted_and_budgets_fix_it():
     assert int(lossy["overflow"]) > 0
     proj = project_gaussians(scene, cam)
     budgets = suggest_budgets(proj, 256, 256)
-    clean = render(scene, cam, backend="pallas",
-                   pair_capacity=budgets["pair_capacity"],
-                   k_small=budgets["k_small"], m_big=budgets["m_big"],
-                   k_big=budgets["k_big"])
+    from sage3d_tpu.renderer.render import budget_kwargs
+    bk = budget_kwargs(budgets)
+    bk.pop("tile_capacity", None)   # suggest_budgets has no tile_capacity
+    clean = render(scene, cam, backend="pallas", **bk)
     assert int(clean["overflow"]) == 0
     ref = render(scene, cam, backend="oracle")
     np.testing.assert_allclose(np.asarray(clean["rgb"]),
@@ -165,7 +165,8 @@ def test_binning_matches_bruteforce(width, height):
     budgets = suggest_budgets(proj, width, height)
     bins = jax.device_get(bin_gaussians(
         proj, width, height, k_small=budgets["k_small"],
-        m_big=budgets["m_big"], k_big=budgets["k_big"]))
+        m_big=budgets["m_big"], k_big=budgets["k_big"],
+        m_mid=budgets.get("m_mid", 0), k_mid=budgets.get("k_mid", 0)))
     assert int(bins.overflow) == 0
     expected = _numpy_tile_lists(proj, width, height)
     n_expected = sum(len(v) for v in expected.values())
@@ -209,9 +210,8 @@ def test_ellipse_cull_tightens_anisotropic_scenes():
     assert bud["n_pairs_measured"] < bud["n_pairs_upper"], (
         "ellipse cull kept every AABB candidate on an anisotropic scene")
     assert bud["pair_capacity"] >= bud["n_pairs_measured"]
-    kw = dict(pair_capacity=bud["pair_capacity"],
-              tile_capacity=bud["tile_capacity"], k_small=bud["k_small"],
-              m_big=bud["m_big"], k_big=bud["k_big"])
+    from sage3d_tpu.renderer.render import budget_kwargs
+    kw = budget_kwargs(bud)
     ref = render(scene, cam, backend="oracle")
     out = render(scene, cam, backend="xla", **kw)
     assert int(out["overflow"]) == 0
@@ -239,10 +239,40 @@ def test_autotune_poses_covers_every_probed_pose():
                           for p, y in poses])
     bud = autotune_poses(scene, cams, pair_margin=1.5)
     assert bud["pair_capacity"] >= bud["n_pairs_measured"]
-    kw = dict(pair_capacity=bud["pair_capacity"],
-              tile_capacity=bud["tile_capacity"], k_small=bud["k_small"],
-              m_big=bud["m_big"], k_big=bud["k_big"])
+    from sage3d_tpu.renderer.render import budget_kwargs
+    kw = budget_kwargs(bud)
     for p, y in poses:
         cam = agent_camera(p, yaw=y, width=160, height=128)
         out = render(scene, cam, backend="xla", **kw)
         assert int(out["overflow"]) == 0, f"overflow at pose {p}, yaw {y}"
+
+
+def test_three_tier_emission_matches_two_tier():
+    """The mid emission tier (round 4) must produce the IDENTICAL per-tile
+    pair lists as the 2-tier layout when both sets of budgets cover every
+    spanner — it only changes which fixed-size buffer a pair is emitted
+    from, never the pair set or its depth order."""
+    from sage3d_tpu.ops.binning import bin_gaussians
+    from sage3d_tpu.ops.projection import project_gaussians
+    from sage3d_tpu.renderer.camera import agent_camera
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(20000, seed=7)
+    cam = agent_camera((0.0, -3.5), yaw=1.57, width=640, height=480)
+    proj = project_gaussians(scene, cam)
+
+    b2 = bin_gaussians(proj, 640, 480, k_small=16, m_big=4096, k_big=512)
+    b3 = bin_gaussians(proj, 640, 480, k_small=4, m_big=4096, k_big=512,
+                       m_mid=8192, k_mid=16)
+    assert int(b2.overflow) == 0 and int(b3.overflow) == 0
+    assert int(b2.n_pairs) == int(b3.n_pairs)
+    np.testing.assert_array_equal(np.asarray(b2.tile_count),
+                                  np.asarray(b3.tile_count))
+    n = int(b2.n_pairs)
+    np.testing.assert_array_equal(np.asarray(b2.pair_gauss)[:n],
+                                  np.asarray(b3.pair_gauss)[:n])
+
+    # an UNDERSIZED mid tier must report its dropped spanners as overflow
+    b_of = bin_gaussians(proj, 640, 480, k_small=4, m_big=4096, k_big=512,
+                         m_mid=32, k_mid=16)
+    assert int(b_of.overflow) > 0
