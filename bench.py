@@ -192,6 +192,12 @@ def main():
 
     pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas", budgets)
     _log(f"pallas: {pallas_dt:.4f}s/step ({pallas_mpix:.2f} Mpix/s)")
+    # bf16 gradient-sort variant (detail row): halves the backward sort's
+    # payload bytes for ~7% step time; stays opt-in because the default f32
+    # path holds grad parity at ~1e-4 (bf16 quantizes to ~2e-3).
+    bf16_mpix, bf16_dt, _ = bench_backend(scene, camera, "pallas", budgets,
+                                          grad_sort_bf16=True)
+    _log(f"pallas bf16-sort: {bf16_dt:.4f}s/step ({bf16_mpix:.2f} Mpix/s)")
     # The xla baseline pays O(tiles * tile_capacity) with no early termination,
     # so at the overflow-free capacity it is slow — 2 chained iterations keep
     # the measurement honest without wasting minutes on the known-slower path.
@@ -248,6 +254,8 @@ def main():
         "vs_baseline": round(pallas_mpix / max(xla_mpix, 1e-9), 3),
         "detail": {
             "pallas_step_s": round(pallas_dt, 4),
+            "pallas_bf16_sort_step_s": round(bf16_dt, 4),
+            "pallas_bf16_sort_mpix_per_s": round(bf16_mpix, 2),
             "xla_step_s": round(xla_dt, 4),
             "xla_mpix_per_s": round(xla_mpix, 2),
             "overflow_pairs": parity_1080["overflow_pallas"],
