@@ -24,7 +24,7 @@ from _util import log  # noqa: E402 (jax cache + repo path config)
 
 def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
          max_steps=2000, plateau_db=0.05, n_views=6, width=256, height=256,
-         target_db=28.0):
+         target_db=28.0, grad_sort_bf16=False):
     from sage3d_tpu.parallel.densify import (DensifyConfig, DensifyState,
                                              densify_prune,
                                              init_densify_state)
@@ -58,7 +58,8 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
               tile_capacity=budgets["tile_capacity"],
               k_small=budgets["k_small"], m_big=budgets["m_big"],
               k_big=budgets["k_big"],
-              m_mid=budgets.get("m_mid", 0), k_mid=budgets.get("k_mid", 0))
+              m_mid=budgets.get("m_mid", 0), k_mid=budgets.get("k_mid", 0),
+              grad_sort_bf16=grad_sort_bf16)
 
     mesh = make_mesh((1, 1))
     opt = make_group_optimizer(extent=8.0)
@@ -124,10 +125,14 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
         "wall_s": round(wall, 1),
         "steps_per_s": round(curve[-1]["step"] / wall, 2),
         "n_gaussians": n, "capacity": capacity, "n_views": n_views,
+        "grad_sort_bf16": grad_sort_bf16,
         "curve": curve,
     }))
     assert final >= target_db, f"plateau below target: {final} dB"
 
 
 if __name__ == "__main__":
-    main()
+    # bf16-gradient-sort convergence evidence: `python converge_demo.py bf16`
+    # runs the identical fit with the half-payload gradient sort, so its PSNR
+    # can be compared against the f32 default before any promotion decision.
+    main(grad_sort_bf16="bf16" in sys.argv[1:])
