@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 N = 1_000_000
-P = 5_300_000
+P = 5_300_224          # headline-scale pair count, multiple of 256
 NFEAT = 16
 
 

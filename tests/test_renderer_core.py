@@ -158,6 +158,28 @@ def test_render_batch_shapes(small_scene):
     assert out["semantic"].shape == (2, H, W)
 
 
+def test_render_batch_sequential_matches_vmap(small_scene):
+    """sequential=True (lax.map, the big-batch fast path on v5e) must be a
+    pure execution-strategy switch: identical outputs to the vmapped form."""
+    from sage3d_tpu.renderer.camera import stack_cameras
+    from sage3d_tpu.renderer.render import render_batch
+    cams = stack_cameras([
+        agent_camera((0.0, -4.0), yaw=1.57, width=W, height=H),
+        agent_camera((0.5, -4.0), yaw=1.2, width=W, height=H),
+    ])
+    v = render_batch(small_scene, cams)
+    s = render_batch(small_scene, cams, sequential=True)
+    # the scan body compiles to a slightly different fusion than the vmapped
+    # program (FMA/reassociation), so equality is float-level, not bitwise:
+    # measured ~7e-5 rgb / ~4e-3 depth (depth carries the camera.far scale)
+    for k, atol in (("rgb", 1e-3), ("depth", 2e-2), ("alpha", 1e-3)):
+        np.testing.assert_allclose(np.asarray(v[k]), np.asarray(s[k]),
+                                   atol=atol, err_msg=k)
+    sem_eq = np.mean(np.asarray(v["semantic"]) == np.asarray(s["semantic"]))
+    assert sem_eq > 0.995, f"semantic argmax agreement {sem_eq}"
+    assert int(s["overflow"].sum()) == int(v["overflow"].sum()) == 0
+
+
 def test_channel_cov2d_matches_matrix_form():
     """The channel-math EWA covariance in project_gaussians must stay
     equivalent to the (N,3,3) matrix form built from covariance_3d (the

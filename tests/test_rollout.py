@@ -57,6 +57,16 @@ def test_rollout_batch_matches_single():
                                np.asarray(single0["positions"]), atol=1e-5)
     assert batched["goal_distance"].shape == (2, 5)
 
+    # batch_mode="map" (the big-budget fast path on v5e: sequential episodes
+    # in one program) must be a pure execution-strategy switch
+    mapped = rollout_batch(scene, grid, starts, yaws, goals,
+                           batch_mode="map", **kw)
+    for k in ("positions", "goal_distance", "total_collisions",
+              "min_clearance"):
+        np.testing.assert_allclose(np.asarray(mapped[k]),
+                                   np.asarray(batched[k]), atol=1e-5,
+                                   err_msg=k)
+
 
 def test_rollout_with_lod_render_scene():
     """Policy frames from an importance-LOD subset; collision vs full scene."""
