@@ -84,7 +84,7 @@ def autotune(scene, camera):
 
 
 def bench_backend(scene, camera, backend: str, budgets, iters: int = 12,
-                  grad_sort_bf16: bool = False):
+                  grad_sort_bf16: bool = True):
     from sage3d_tpu.renderer.render import render
 
     # NOTE: the scene must be an ARGUMENT of the jitted program — closing over
@@ -141,19 +141,24 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
                          for k in ("rgb", "depth_acc", "alpha", "trans")}
         outs[backend]["overflow"] = int(jax.device_get(o["overflow"]))
 
-    def loss(p, s, backend):
+    def loss(p, s, backend, bf16):
         s = s._replace(**p)
-        o = render(s, camera, backend=backend, **kw)
+        o = render(s, camera, backend=backend, grad_sort_bf16=bf16, **kw)
         return (jnp.sum(o["rgb"] ** 2) + 0.05 * jnp.sum(o["depth_acc"])
                 + 0.02 * jnp.sum(o["alpha"])) * grad_scale
 
     params = {"opacity_logits": scene.opacity_logits, "means": scene.means}
+    # Gradients in BOTH sort modes: the default (bf16 payload sort, promoted
+    # round 4 after the convergence A/B) and the strict-f32 opt-out. Keyed as
+    # grad_* (default) / grad_*_f32sort so neither guarantee is silent.
     grads = {}
-    for backend in ("pallas", "xla"):
-        g = jax.device_get(jax.jit(
-            jax.grad(loss), static_argnames=("backend",))(
-            params, scene, backend=backend))
-        grads[backend] = {k: np.asarray(v) for k, v in g.items()}
+    for mode_name, bf16 in (("bf16", True), ("f32", False)):
+        for backend in ("pallas", "xla"):
+            g = jax.device_get(jax.jit(
+                jax.grad(loss), static_argnames=("backend", "bf16"))(
+                params, scene, backend=backend, bf16=bf16))
+            grads[(mode_name, backend)] = {k: np.asarray(v)
+                                           for k, v in g.items()}
 
     def diff_stats(a, b):
         denom = max(float(np.abs(b).max()), 1e-12)
@@ -165,21 +170,31 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
     for k in ("rgb", "depth_acc", "alpha", "trans"):
         report[f"fwd_{k}"] = diff_stats(outs["pallas"][k], outs["xla"][k])
     for k in params:
-        report[f"grad_{k}"] = diff_stats(grads["pallas"][k], grads["xla"][k])
+        report[f"grad_{k}"] = diff_stats(grads[("bf16", "pallas")][k],
+                                         grads[("bf16", "xla")][k])
+        report[f"grad_{k}_f32sort"] = diff_stats(grads[("f32", "pallas")][k],
+                                                 grads[("f32", "xla")][k])
     # Tolerances: rgb/depth/alpha compare at 1e-3 relative. ``trans`` uses an
     # ABSOLUTE bound of 2*TRANS_EPS: both backends stop refining a pixel once
     # its transmittance is "opaque", the Pallas kernel by early-terminating at
     # TRANS_EPS=1e-4 (the classic 3DGS threshold), so on fully-saturated
     # frames the xla value underruns to ~1e-6 and a relative diff on that
     # denominator is meaningless — the design guarantee is |T_pallas - T_xla|
-    # <= TRANS_EPS. Gradients get 5e-3 relative: fp32 accumulation order
-    # differs (sublane scans vs cumsum) and the early-terminated tail's
-    # gradient contribution is bounded by the same TRANS_EPS.
+    # <= TRANS_EPS. Gradient tolerances are mode-specific and both asserted:
+    #   default (bf16 payload sort): 5e-3 — one bf16 rounding (2^-8 relative)
+    #     of each per-row gradient payload; measured ~2e-3. Promoted to
+    #     default in round 4 after a convergence A/B reached the identical
+    #     47.83 dB plateau as f32 (docs/PERF_NOTES.md).
+    #   f32 sort opt-out: 5e-4 — pure fp32 accumulation-order noise
+    #     (sublane scans vs cumsum); measured ~1e-4 since the segreduce
+    #     Precision.HIGHEST fix.
     report["allclose"] = bool(
         all(report[f"fwd_{k}"]["max_rel"] < 1e-3
             for k in ("rgb", "depth_acc", "alpha"))
         and report["fwd_trans"]["max_abs"] < 2e-4
-        and all(report[f"grad_{k}"]["max_rel"] < 5e-3 for k in params))
+        and all(report[f"grad_{k}"]["max_rel"] < 5e-3 for k in params)
+        and all(report[f"grad_{k}_f32sort"]["max_rel"] < 5e-4
+                for k in params))
     return report
 
 
@@ -198,14 +213,17 @@ def main():
     budgets = autotune(scene, camera)
     _log(f"autotuned budgets: {budgets}")
 
+    # Headline = the library DEFAULT path: bf16 gradient-sort payloads
+    # (promoted in round 4 — convergence A/B identical to f32 at 47.83 dB,
+    # parity ~2e-3, ~7% faster; docs/PERF_NOTES.md has the evidence chain).
     pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas", budgets)
-    _log(f"pallas: {pallas_dt:.4f}s/step ({pallas_mpix:.2f} Mpix/s)")
-    # bf16 gradient-sort variant (detail row): halves the backward sort's
-    # payload bytes for ~7% step time; stays opt-in because the default f32
-    # path holds grad parity at ~1e-4 (bf16 quantizes to ~2e-3).
-    bf16_mpix, bf16_dt, _ = bench_backend(scene, camera, "pallas", budgets,
-                                          grad_sort_bf16=True)
-    _log(f"pallas bf16-sort: {bf16_dt:.4f}s/step ({bf16_mpix:.2f} Mpix/s)")
+    _log(f"pallas (default, bf16 grad sort): {pallas_dt:.4f}s/step "
+         f"({pallas_mpix:.2f} Mpix/s)")
+    # strict-f32 gradient-sort opt-out (detail row): the ~1e-4 parity path.
+    f32_mpix, f32_dt, _ = bench_backend(scene, camera, "pallas", budgets,
+                                        grad_sort_bf16=False)
+    _log(f"pallas f32-sort opt-out: {f32_dt:.4f}s/step "
+         f"({f32_mpix:.2f} Mpix/s)")
     # The xla baseline pays O(tiles * tile_capacity) with no early termination,
     # so at the overflow-free capacity it is slow — 2 chained iterations keep
     # the measurement honest without wasting minutes on the known-slower path.
@@ -262,8 +280,9 @@ def main():
         "vs_baseline": round(pallas_mpix / max(xla_mpix, 1e-9), 3),
         "detail": {
             "pallas_step_s": round(pallas_dt, 4),
-            "pallas_bf16_sort_step_s": round(bf16_dt, 4),
-            "pallas_bf16_sort_mpix_per_s": round(bf16_mpix, 2),
+            "grad_sort": "bf16 (default since round 4)",
+            "pallas_f32_sort_step_s": round(f32_dt, 4),
+            "pallas_f32_sort_mpix_per_s": round(f32_mpix, 2),
             "xla_step_s": round(xla_dt, 4),
             "xla_mpix_per_s": round(xla_mpix, 2),
             "overflow_pairs": parity_1080["overflow_pallas"],

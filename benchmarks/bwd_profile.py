@@ -154,6 +154,51 @@ t_fu = timed("fusion total (11-op sort + cumsum + bounds)", fusion,
              (dcols, ids0))
 
 
+# the CURRENT backward glue: 11-op sort + Pallas segmented reduction
+from sage3d_tpu.ops.segreduce import segment_reduce_sorted
+
+
+def sort_segreduce(c, dcols, ids):
+    dcols = dcols + c * 0
+    sorted_ = jax.lax.sort(
+        (ids,) + tuple(dcols[j] for j in range(NGRAD)),
+        dimension=0, is_stable=False, num_keys=1)
+    dg = segment_reduce_sorted(sorted_[0], sorted_[1:], n_gauss)
+    return jnp.sum(dg) * 1e-9
+
+
+t_sr = timed("glue (f32 sort) : 11-op sort + segreduce", sort_segreduce,
+             (dcols, ids0))
+
+
+def sort_segreduce_bf16(c, dcols, ids):
+    dcols = dcols + c * 0
+    sorted_ = jax.lax.sort(
+        (ids,) + tuple(dcols[j].astype(jnp.bfloat16) for j in range(NGRAD)),
+        dimension=0, is_stable=False, num_keys=1)
+    vals = tuple(v.astype(jnp.float32) for v in sorted_[1:])
+    dg = segment_reduce_sorted(sorted_[0], vals, n_gauss)
+    return jnp.sum(dg) * 1e-9
+
+
+t_sr16 = timed("glue (bf16 sort, DEFAULT): sort + segreduce",
+               sort_segreduce_bf16, (dcols, ids0))
+
+
+# the forward feature row-gather alone (attrs[pair_gauss] + block packing)
+def gather_only(c, attrs, pair_gauss):
+    p_pad = n_blocks * CHUNK
+    idx = jnp.concatenate(
+        [pair_gauss, jnp.zeros((p_pad - pair_gauss.shape[0],), jnp.int32)])
+    rows = (attrs + c * 0)[idx]
+    feats3 = rows.reshape(n_blocks, CHUNK, NFEAT).transpose(0, 2, 1)
+    return jnp.sum(feats3[:, 0, ::64]) * 1e-9
+
+
+t_g = timed("fwd feature row-gather + packing", gather_only,
+            (attrs, pair_gauss))
+
+
 # binning emission stats: exceed counts for 3-tier budget planning
 from sage3d_tpu.ops.binning import SUGGEST_THRESHOLDS, pair_count_stats
 
@@ -193,6 +238,12 @@ def cumsum10(c, dcols):
 
 t_c = timed("fusion: stack+cumsum only", cumsum10, (dcols,))
 
-log(f"bwd kernel+misc (fb - fwd - fusion): {1e3 * (t_fb - t_f - t_fu):.1f} ms")
-log(f"fusion parts: sort {1e3 * t_s:.1f}  cumsum {1e3 * t_c:.1f}  "
+# `flat` is built at the library DEFAULT (bf16 grad sort since round 4), so
+# the kernel+misc residual must subtract the MATCHING bf16 glue timing.
+log(f"bwd kernel+misc (fb - fwd - bf16 glue): "
+    f"{1e3 * (t_fb - t_f - t_sr16):.1f} ms")
+log(f"old fusion parts: sort {1e3 * t_s:.1f}  cumsum {1e3 * t_c:.1f}  "
     f"bounds {1e3 * (t_fu - t_s - t_c):.1f}  total {1e3 * t_fu:.1f}")
+log(f"glue f32: sort {1e3 * t_s:.1f}  segreduce {1e3 * (t_sr - t_s):.1f}"
+    f"  total {1e3 * t_sr:.1f}   glue bf16 (default): {1e3 * t_sr16:.1f}")
+log(f"fwd kernel alone {1e3 * t_f:.1f}  gather {1e3 * t_g:.1f}")

@@ -375,7 +375,7 @@ def _use_interpret() -> bool:
 @functools.lru_cache(maxsize=32)
 def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
                         n_gauss: int, interpret: bool,
-                        grad_sort_bf16: bool = False):
+                        grad_sort_bf16: bool = True):
     """custom_vjp'd attrs->tiles compositor for a static shape config.
 
     fwd: one (N,16)->(P,16) row gather + block packing + the Pallas forward.
@@ -468,8 +468,12 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         # Sort cost scales with payload bytes (the dominant backward-glue
         # line). grad_sort_bf16 halves them: per-row gradients quantize to
         # bf16 (~0.4% relative) before the sort; segment accumulation stays
-        # f32 in the reduction kernel. Opt-in fast mode — the default keeps
-        # the f32 parity guarantee.
+        # f32 in the reduction kernel. DEFAULT since round 4: an on-device
+        # convergence A/B (benchmarks/converge_demo.py bf16) reached the
+        # IDENTICAL 47.83 dB plateau as the f32 path at the same step count,
+        # end-to-end step time is ~7% lower, and pallas-vs-xla grad parity
+        # stays ~2e-3 (bounded by one bf16 rounding of each per-row payload).
+        # Pass grad_sort_bf16=False for the strict ~1e-4 parity path.
         pdt = jnp.bfloat16 if grad_sort_bf16 else jnp.float32
         sorted_ = jax.lax.sort(
             (ids,) + tuple(dcols[j].astype(pdt) for j in range(NGRAD)),
@@ -501,7 +505,7 @@ def composite_tiles_pallas(
     height: int,
     tile_capacity: int = 4096,
     pair_capacity: int = 0,
-    grad_sort_bf16: bool = False,
+    grad_sort_bf16: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Composite via the Pallas kernels. Same output schema as composite_tiles.
 

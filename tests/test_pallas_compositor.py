@@ -52,7 +52,11 @@ def test_pallas_backward_matches_oracle(scene, cam):
 
     def loss(p, backend):
         s = scene._replace(**p)
-        out = render(s, cam, backend=backend, pair_capacity=1 << 14)
+        # f32 grad sort: this test isolates the KERNEL math against the
+        # oracle at fp32 accumulation-noise tolerance; the bf16 default's
+        # payload quantization is bounded separately below.
+        out = render(s, cam, backend=backend, pair_capacity=1 << 14,
+                     grad_sort_bf16=False)
         # exercise rgb + depth + alpha + trans cotangents
         return (jnp.mean((out["rgb"] - target) ** 2)
                 + 0.05 * jnp.mean(out["depth_acc"])
@@ -68,6 +72,25 @@ def test_pallas_backward_matches_oracle(scene, cam):
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=3e-4,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_default_grad_sort_is_bf16(scene, cam):
+    """The DEFAULT gradient path is the bf16 payload sort (promoted round 4:
+    convergence A/B identical at 47.83 dB, parity ~2e-3, ~7% faster step).
+    Guard the promotion: default grads == explicit grad_sort_bf16=True grads
+    bitwise, and != the f32 opt-out (i.e. the flag is actually live)."""
+    def gr(**kw):
+        def loss(op):
+            s = scene._replace(opacity_logits=op)
+            out = render(s, cam, backend="pallas", pair_capacity=1 << 14,
+                         **kw)
+            return jnp.mean(out["rgb"] ** 2)
+        return np.asarray(jax.grad(loss)(scene.opacity_logits))
+
+    g_default, g_bf16, g_f32 = gr(), gr(grad_sort_bf16=True), \
+        gr(grad_sort_bf16=False)
+    np.testing.assert_array_equal(g_default, g_bf16)
+    assert np.abs(g_default - g_f32).max() > 0.0
 
 
 def test_pallas_backward_bf16_sort_close(scene, cam):

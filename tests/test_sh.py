@@ -65,7 +65,9 @@ def test_render_backend_parity_sh(degree):
                                    rtol=0, atol=2e-3)
 
     def loss(sh, backend):
-        out = render(scene._replace(sh=sh), cam, backend=backend, **kw)
+        # f32 grad sort: SH-band parity at fp32 accumulation tolerance
+        out = render(scene._replace(sh=sh), cam, backend=backend,
+                     grad_sort_bf16=False, **kw)
         return jnp.sum(out["rgb"] ** 2)
 
     g_x = jax.grad(loss)(scene.sh, "xla")
