@@ -84,7 +84,7 @@ def autotune(scene, camera):
 
 
 def bench_backend(scene, camera, backend: str, budgets, iters: int = 12,
-                  grad_sort_bf16: bool = True):
+                  grad_sort_bf16: bool = False):
     from sage3d_tpu.renderer.render import render
 
     # NOTE: the scene must be an ARGUMENT of the jitted program — closing over
@@ -148,9 +148,10 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
                 + 0.02 * jnp.sum(o["alpha"])) * grad_scale
 
     params = {"opacity_logits": scene.opacity_logits, "means": scene.means}
-    # Gradients in BOTH sort modes: the default (bf16 payload sort, promoted
-    # round 4 after the convergence A/B) and the strict-f32 opt-out. Keyed as
-    # grad_* (default) / grad_*_f32sort so neither guarantee is silent.
+    # Gradients in BOTH sort modes: the f32 default and the bf16 speed
+    # option. Keyed grad_* / grad_*_f32sort (grad_* measures bf16 so the
+    # option's bound can never erode silently; the default's strict bound
+    # is the f32sort row).
     grads = {}
     for mode_name, bf16 in (("bf16", True), ("f32", False)):
         for backend in ("pallas", "xla"):
@@ -181,11 +182,12 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
     # frames the xla value underruns to ~1e-6 and a relative diff on that
     # denominator is meaningless — the design guarantee is |T_pallas - T_xla|
     # <= TRANS_EPS. Gradient tolerances are mode-specific and both asserted:
-    #   default (bf16 payload sort): 5e-3 — one bf16 rounding (2^-8 relative)
-    #     of each per-row gradient payload; measured ~2e-3. Promoted to
-    #     default in round 4 after a convergence A/B reached the identical
-    #     47.83 dB plateau as f32 (docs/PERF_NOTES.md).
-    #   f32 sort opt-out: 5e-4 — pure fp32 accumulation-order noise
+    #   bf16 payload sort (speed OPTION): 5e-3 — one bf16 rounding (2^-8
+    #     relative) of each per-row gradient payload; measured ~2-4e-3.
+    #     Numerically identical to the round-3 MXU precision drift, and
+    #     DEMOTED from default after a trainer A/B showed it degrades
+    #     no-ADC fine convergence (docs/PERF_NOTES.md).
+    #   f32 sort (DEFAULT): 5e-4 — pure fp32 accumulation-order noise
     #     (sublane scans vs cumsum); measured ~1e-4 since the segreduce
     #     Precision.HIGHEST fix.
     report["allclose"] = bool(
@@ -213,17 +215,19 @@ def main():
     budgets = autotune(scene, camera)
     _log(f"autotuned budgets: {budgets}")
 
-    # Headline = the library DEFAULT path: bf16 gradient-sort payloads
-    # (promoted in round 4 — convergence A/B identical to f32 at 47.83 dB,
-    # parity ~2e-3, ~7% faster; docs/PERF_NOTES.md has the evidence chain).
+    # Headline = the library DEFAULT path: f32 gradient sort. bf16 payloads
+    # were promoted mid-round-4 and then DEMOTED by a same-session trainer
+    # A/B: bf16-rounded rows (numerically IDENTICAL to the round-3 MXU
+    # precision drift — trajectories bit-match) degrade no-ADC fine
+    # convergence (28.18 rising vs 24.80 falling dB at step 125). bf16
+    # stays the measured speed option for ADC training, reported below.
     pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas", budgets)
-    _log(f"pallas (default, bf16 grad sort): {pallas_dt:.4f}s/step "
+    _log(f"pallas (default, f32 grad sort): {pallas_dt:.4f}s/step "
          f"({pallas_mpix:.2f} Mpix/s)")
-    # strict-f32 gradient-sort opt-out (detail row): the ~1e-4 parity path.
-    f32_mpix, f32_dt, _ = bench_backend(scene, camera, "pallas", budgets,
-                                        grad_sort_bf16=False)
-    _log(f"pallas f32-sort opt-out: {f32_dt:.4f}s/step "
-         f"({f32_mpix:.2f} Mpix/s)")
+    bf16_mpix, bf16_dt, _ = bench_backend(scene, camera, "pallas", budgets,
+                                          grad_sort_bf16=True)
+    _log(f"pallas bf16-sort option: {bf16_dt:.4f}s/step "
+         f"({bf16_mpix:.2f} Mpix/s)")
     # The xla baseline pays O(tiles * tile_capacity) with no early termination,
     # so at the overflow-free capacity it is slow — 2 chained iterations keep
     # the measurement honest without wasting minutes on the known-slower path.
@@ -280,9 +284,9 @@ def main():
         "vs_baseline": round(pallas_mpix / max(xla_mpix, 1e-9), 3),
         "detail": {
             "pallas_step_s": round(pallas_dt, 4),
-            "grad_sort": "bf16 (default since round 4)",
-            "pallas_f32_sort_step_s": round(f32_dt, 4),
-            "pallas_f32_sort_mpix_per_s": round(f32_mpix, 2),
+            "grad_sort": "f32 (default; bf16 demoted after trainer A/B)",
+            "pallas_bf16_sort_step_s": round(bf16_dt, 4),
+            "pallas_bf16_sort_mpix_per_s": round(bf16_mpix, 2),
             "xla_step_s": round(xla_dt, 4),
             "xla_mpix_per_s": round(xla_mpix, 2),
             "overflow_pairs": parity_1080["overflow_pallas"],

@@ -134,5 +134,14 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
 if __name__ == "__main__":
     # bf16-gradient-sort convergence evidence: `python converge_demo.py bf16`
     # runs the identical fit with the half-payload gradient sort, so its PSNR
-    # can be compared against the f32 default before any promotion decision.
-    main(grad_sort_bf16="bf16" in sys.argv[1:])
+    # can be compared against the f32 path before any promotion decision.
+    # `steps=N` / `until=N` shorten the schedule for same-session A/Bs.
+    kw = {"grad_sort_bf16": "bf16" in sys.argv[1:]}
+    for tok in sys.argv[1:]:
+        if tok.startswith("steps="):
+            kw["max_steps"] = int(tok.split("=")[1])
+        if tok.startswith("until="):
+            kw["densify_until"] = int(tok.split("=")[1])
+        if tok.startswith("target="):
+            kw["target_db"] = float(tok.split("=")[1])
+    main(**kw)

@@ -234,6 +234,33 @@ def main(tiny="--tiny" in sys.argv[1:]):
         log(f"{name}: {best * 1e3:.1f} ms (first {first:.1f}s)")
         return best
 
+    def timed_vmapped(name, call, b=4, iters=6):
+        """The same kernel vmapped over a leading batch of b identical
+        workloads — pins whether a BATCHED pallas grid itself degrades
+        (the remaining suspect in the vmapped-render collapse)."""
+        feats_b = jnp.broadcast_to(feats3[None], (b,) + feats3.shape)
+        ts_b = jnp.broadcast_to(tile_start[None], (b,) + tile_start.shape)
+        cc_b = jnp.broadcast_to(count_c[None], (b,) + count_c.shape)
+
+        @jax.jit
+        def loop(feats_b, ts_b, cc_b, c):
+            def body(i, c):
+                out = jax.vmap(call)(feats_b + c * 0, ts_b, cc_b)
+                return c + jnp.sum(out[:, :, 0:5, ::128]) * 1e-9
+            return jax.lax.fori_loop(0, iters, body, c)
+
+        t0 = time.time()
+        float(jax.device_get(loop(feats_b, ts_b, cc_b, jnp.float32(0.0))))
+        first = time.time() - t0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            float(jax.device_get(loop(feats_b, ts_b, cc_b,
+                                      jnp.float32(0.0))))
+            best = min(best, (time.time() - t0) / iters)
+        log(f"{name}: {best * 1e3:.1f} ms for batch {b} (first {first:.1f}s)")
+        return best
+
     base = dict(early_term=False, do_exp=True, do_scan=True, do_blend=True,
                 do_argmax=True)
     t_et = timed("full kernel, EARLY TERM ON (production)",
@@ -253,6 +280,10 @@ def main(tiny="--tiny" in sys.argv[1:]):
     t_noexp = timed("no exp (quadratic stub)",
                     make_variant(n_tiles, tiles_x,
                                  **{**base, "do_exp": False}))
+    t_vm = timed_vmapped("full kernel ET on, vmapped batch",
+                         make_variant(n_tiles, tiles_x,
+                                      **{**base, "early_term": True}))
+    log(f"vmapped-vs-4x-single ratio: {t_vm / (4 * t_et):.2f}")
     log("--- anatomy (deltas vs ET-off baseline) ---")
     log(f"early-termination saves: {1e3 * (t_full - t_et):.1f} ms")
     log(f"argmax block:  {1e3 * (t_full - t_noargmax):.1f} ms")

@@ -375,7 +375,7 @@ def _use_interpret() -> bool:
 @functools.lru_cache(maxsize=32)
 def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
                         n_gauss: int, interpret: bool,
-                        grad_sort_bf16: bool = True):
+                        grad_sort_bf16: bool = False):
     """custom_vjp'd attrs->tiles compositor for a static shape config.
 
     fwd: one (N,16)->(P,16) row gather + block packing + the Pallas forward.
@@ -468,12 +468,15 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         # Sort cost scales with payload bytes (the dominant backward-glue
         # line). grad_sort_bf16 halves them: per-row gradients quantize to
         # bf16 (~0.4% relative) before the sort; segment accumulation stays
-        # f32 in the reduction kernel. DEFAULT since round 4: an on-device
-        # convergence A/B (benchmarks/converge_demo.py bf16) reached the
-        # IDENTICAL 47.83 dB plateau as the f32 path at the same step count,
-        # end-to-end step time is ~7% lower, and pallas-vs-xla grad parity
-        # stays ~2e-3 (bounded by one bf16 rounding of each per-row payload).
-        # Pass grad_sort_bf16=False for the strict ~1e-4 parity path.
+        # f32 in the reduction kernel. OPT-IN speed mode (~7% end-to-end,
+        # parity ~2-4e-3): bf16-rounded rows are numerically IDENTICAL to
+        # the round-3 MXU default-precision drift (training trajectories
+        # bit-match — docs/PERF_NOTES.md), and a round-4 trainer A/B showed
+        # that rounding DEGRADES no-ADC fine convergence (f32 28.18 dB
+        # rising vs bf16 24.80 falling at step 125), so the default stays
+        # f32 (~1e-4 parity). With adaptive density control the bf16 fit
+        # still reached 42.3 dB at 600 steps — safe for ADC training runs
+        # that want the 7%.
         pdt = jnp.bfloat16 if grad_sort_bf16 else jnp.float32
         sorted_ = jax.lax.sort(
             (ids,) + tuple(dcols[j].astype(pdt) for j in range(NGRAD)),
@@ -505,7 +508,7 @@ def composite_tiles_pallas(
     height: int,
     tile_capacity: int = 4096,
     pair_capacity: int = 0,
-    grad_sort_bf16: bool = True,
+    grad_sort_bf16: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Composite via the Pallas kernels. Same output schema as composite_tiles.
 

@@ -184,7 +184,7 @@ def render(
     k_big: int = 256,
     m_mid: int = 0,
     k_mid: int = 0,
-    grad_sort_bf16: bool = True,
+    grad_sort_bf16: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
 
