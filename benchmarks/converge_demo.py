@@ -24,7 +24,7 @@ from _util import log  # noqa: E402 (jax cache + repo path config)
 
 def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
          max_steps=2000, plateau_db=0.05, n_views=6, width=256, height=256,
-         target_db=28.0, grad_sort_bf16=False):
+         target_db=28.0, grad_sort="f32"):
     from sage3d_tpu.parallel.densify import (DensifyConfig, DensifyState,
                                              densify_prune,
                                              init_densify_state)
@@ -59,7 +59,7 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
               k_small=budgets["k_small"], m_big=budgets["m_big"],
               k_big=budgets["k_big"],
               m_mid=budgets.get("m_mid", 0), k_mid=budgets.get("k_mid", 0),
-              grad_sort_bf16=grad_sort_bf16)
+              grad_sort=grad_sort)
 
     mesh = make_mesh((1, 1))
     opt = make_group_optimizer(extent=8.0)
@@ -125,7 +125,7 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
         "wall_s": round(wall, 1),
         "steps_per_s": round(curve[-1]["step"] / wall, 2),
         "n_gaussians": n, "capacity": capacity, "n_views": n_views,
-        "grad_sort_bf16": grad_sort_bf16,
+        "grad_sort": grad_sort,
         "curve": curve,
     }))
     assert final >= target_db, f"plateau below target: {final} dB"
@@ -136,8 +136,10 @@ if __name__ == "__main__":
     # runs the identical fit with the half-payload gradient sort, so its PSNR
     # can be compared against the f32 path before any promotion decision.
     # `steps=N` / `until=N` shorten the schedule for same-session A/Bs.
-    kw = {"grad_sort_bf16": "bf16" in sys.argv[1:]}
+    kw = {}
     for tok in sys.argv[1:]:
+        if tok in ("f32", "f16", "bf16"):
+            kw["grad_sort"] = tok
         if tok.startswith("steps="):
             kw["max_steps"] = int(tok.split("=")[1])
         if tok.startswith("until="):

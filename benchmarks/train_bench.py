@@ -28,9 +28,9 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def main(grad_sort_bf16="f32" not in sys.argv[1:]):
-    # `python train_bench.py f32` A/Bs the strict-f32 gradient sort against
-    # the bf16 library default (promoted round 4).
+def main(grad_sort=None):
+    # `python train_bench.py f16|bf16|f32` selects the gradient-sort payload
+    # mode (default f32) for convergence-trajectory A/Bs.
     from sage3d_tpu.parallel.mesh import make_mesh
     from sage3d_tpu.parallel.train import (TrainState, make_chained_steps,
                                            make_group_optimizer,
@@ -74,7 +74,7 @@ def main(grad_sort_bf16="f32" not in sys.argv[1:]):
                                     k_big=budgets["k_big"],
                                     m_mid=budgets.get("m_mid", 0),
                                     k_mid=budgets.get("k_mid", 0),
-                                    grad_sort_bf16=grad_sort_bf16)
+                                    grad_sort=grad_sort)
     params = scene_params(init)
     state = TrainState(params=params, opt_state=opt.init(params),
                        step=jnp.zeros((), jnp.int32))
@@ -124,9 +124,10 @@ def main(grad_sort_bf16="f32" not in sys.argv[1:]):
         "train_steps_per_s": round(1.0 / dt, 2),
         "psnr_after_25_steps_db": round(psnr(first_loss), 2),
         "psnr_after_125_steps_db": round(psnr(final_loss), 2),
-        "grad_sort_bf16": grad_sort_bf16,
+        "grad_sort": grad_sort or "f32",
         "backend": "pallas", "compile_s": round(compile_s, 1)}))
 
 
 if __name__ == "__main__":
-    main()
+    mode = [t for t in sys.argv[1:] if t in ("f32", "f16", "bf16")]
+    main(grad_sort=mode[0] if mode else None)

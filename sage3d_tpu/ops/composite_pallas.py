@@ -62,6 +62,13 @@ NGRAD = 10           # real gradient channels: d_a..d_cy, dop, df_r..df_d
 GID_COL = 11         # attr column carrying the Gaussian id (f32-exact < 2^24)
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
 GUARD_BLOCKS = 2     # feature-array tail blocks so window DMAs stay in range
+# Default gradient-sort payload mode. "f16" = per-channel absmax-scaled
+# float16 (2^-11 rounding): promoted to default in round 4 on the full
+# evidence chain — trainer A/B matches f32 (28.16 vs 28.18 dB rising at the
+# no-ADC config), pure-GD 1000-step fine convergence matches (45.73 vs
+# 45.63 dB), ~7% faster step, parity ~2-3e-4, loss-scale-invariant by
+# construction. "bf16" (2^-8) FAILED the same gates and must stay opt-in.
+GRAD_SORT_DEFAULT = "f16"
 
 
 def _pixel_rows():
@@ -375,7 +382,7 @@ def _use_interpret() -> bool:
 @functools.lru_cache(maxsize=32)
 def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
                         n_gauss: int, interpret: bool,
-                        grad_sort_bf16: bool = False):
+                        grad_sort: str = "f32"):
     """custom_vjp'd attrs->tiles compositor for a static shape config.
 
     fwd: one (N,16)->(P,16) row gather + block packing + the Pallas forward.
@@ -466,29 +473,48 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         dcols = dslots.transpose(1, 0, 2).reshape(NFEAT, p_grad)
         ids = dcols[GID_COL].astype(jnp.int32)
         # Sort cost scales with payload bytes (the dominant backward-glue
-        # line). grad_sort_bf16 halves them: per-row gradients quantize to
-        # bf16 (~0.4% relative) before the sort; segment accumulation stays
-        # f32 in the reduction kernel. OPT-IN speed mode (~7% end-to-end,
-        # parity ~2-4e-3): bf16-rounded rows are numerically IDENTICAL to
-        # the round-3 MXU default-precision drift (training trajectories
-        # bit-match — docs/PERF_NOTES.md), and a round-4 trainer A/B showed
-        # that rounding DEGRADES no-ADC fine convergence (f32 28.18 dB
-        # rising vs bf16 24.80 falling at step 125), so the default stays
-        # f32 (~1e-4 parity). With adaptive density control the bf16 fit
-        # still reached 42.3 dB at 600 steps — safe for ADC training runs
-        # that want the 7%.
-        pdt = jnp.bfloat16 if grad_sort_bf16 else jnp.float32
-        sorted_ = jax.lax.sort(
-            (ids,) + tuple(dcols[j].astype(pdt) for j in range(NGRAD)),
-            dimension=0, is_stable=False, num_keys=1)
-        if grad_sort_bf16:
-            sorted_ = (sorted_[0],) + tuple(
-                v.astype(jnp.float32) for v in sorted_[1:])
+        # line). Three payload modes:
+        #   "f32"  (DEFAULT): exact rows, parity ~1e-4.
+        #   "f16"  (~7% end-to-end): per-channel absmax-scaled float16 —
+        #          11 mantissa bits, rounding ~2^-11 of the channel max,
+        #          8x finer than bf16; the scaling makes it invariant to
+        #          the user's loss scale (raw f16 would overflow at 65k).
+        #   "bf16" (~7%): raw bfloat16, rounding 2^-8 of each row. This is
+        #          numerically IDENTICAL to the round-3 MXU default-
+        #          precision drift (training trajectories bit-match —
+        #          docs/PERF_NOTES.md) and a round-4 trainer A/B showed it
+        #          DEGRADES no-ADC fine convergence (f32 28.18 dB rising
+        #          vs bf16 24.80 falling at step 125), so it must never be
+        #          the default. Kept for ADC-dominated runs (bf16 fit
+        #          still reached 42.3 dB at 600 steps).
+        # Segment accumulation stays f32 in the reduction kernel either way.
+        vals = [dcols[j] for j in range(NGRAD)]
+        if grad_sort == "f16":
+            # all NGRAD channel absmaxes in ONE pass over the block
+            absmax = jnp.max(jnp.abs(dcols[:NGRAD]), axis=1)    # (NGRAD,)
+            scales = jnp.float32(30000.0) / jnp.maximum(
+                absmax, jnp.float32(1e-30))
+            ops = tuple((v * scales[j]).astype(jnp.float16)
+                        for j, v in enumerate(vals))
+        elif grad_sort == "bf16":
+            ops = tuple(v.astype(jnp.bfloat16) for v in vals)
+        else:
+            ops = tuple(vals)
+        sorted_ = jax.lax.sort((ids,) + ops, dimension=0, is_stable=False,
+                               num_keys=1)
+        if grad_sort in ("f16", "bf16"):
+            payload = tuple(v.astype(jnp.float32) for v in sorted_[1:])
+        else:
+            payload = sorted_[1:]
         # Segment-sum of the now-contiguous per-Gaussian runs. Round 2 used a
         # (P, 10) cumsum + one P-sized boundary scatter + cummax fill (~45 ms
         # at 1080p/1M); the Pallas one-hot-matmul reduction does the same in
         # one pass over the rows (ops/segreduce.py).
-        dg = segment_reduce_sorted(sorted_[0], sorted_[1:], n_gauss)
+        dg = segment_reduce_sorted(sorted_[0], payload, n_gauss)
+        if grad_sort == "f16":
+            # segment sums are linear, so the unscale divides the (N, NGRAD)
+            # OUTPUT instead of the P-sized payload — one fewer full pass
+            dg = dg / scales[None, :]
         d_attrs = jnp.concatenate(
             [dg, jnp.zeros((n_gauss, NFEAT - NGRAD), jnp.float32)], axis=1)
         return d_attrs, None, None, None, None
@@ -499,7 +525,7 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
                                               "pair_capacity",
-                                              "grad_sort_bf16"))
+                                              "grad_sort_bf16", "grad_sort"))
 def composite_tiles_pallas(
     proj: ProjectedGaussians,
     semantic_ids: jnp.ndarray,
@@ -509,6 +535,7 @@ def composite_tiles_pallas(
     tile_capacity: int = 4096,
     pair_capacity: int = 0,
     grad_sort_bf16: bool = False,
+    grad_sort: str = None,
 ) -> Dict[str, jnp.ndarray]:
     """Composite via the Pallas kernels. Same output schema as composite_tiles.
 
@@ -566,8 +593,15 @@ def composite_tiles_pallas(
         jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
     ], axis=1)                                                # (N, 16)
 
+    # grad_sort: "f16" (default: scaled float16, ~7% faster, trainer-
+    # certified) | "f32" (exact) | "bf16"; grad_sort_bf16=True is the
+    # legacy alias for "bf16".
+    mode = grad_sort if grad_sort is not None else (
+        "bf16" if grad_sort_bf16 else GRAD_SORT_DEFAULT)
+    if mode not in ("f32", "f16", "bf16"):
+        raise ValueError(f"unknown grad_sort mode: {mode}")
     flat = _get_attr_composite(n_tiles, tiles_x, n_blocks, c_cap, n,
-                               _use_interpret(), grad_sort_bf16)
+                               _use_interpret(), mode)
     out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0)
 
     imgs = out.transpose(0, 2, 1).reshape(tiles_y, tiles_x, TILE_H, TILE_W,

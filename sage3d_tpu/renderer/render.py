@@ -185,6 +185,7 @@ def render(
     m_mid: int = 0,
     k_mid: int = 0,
     grad_sort_bf16: bool = False,
+    grad_sort: str = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
 
@@ -222,7 +223,8 @@ def render(
         out = composite_tiles_pallas(proj, scene.semantic_ids, bins, width,
                                      height, tile_capacity=tile_capacity,
                                      pair_capacity=pair_capacity,
-                                     grad_sort_bf16=grad_sort_bf16)
+                                     grad_sort_bf16=grad_sort_bf16,
+                                     grad_sort=grad_sort)
         overflow = bins.overflow + out.pop("tile_overflow")
     else:
         raise ValueError(f"unknown backend: {backend}")

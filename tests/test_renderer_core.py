@@ -238,7 +238,7 @@ def test_camera_pose_gradients_flow_and_match(small_scene, cam):
     def loss(cam_pos, backend):
         c = cam._replace(position=cam_pos)
         # f32 grad sort keeps the cross-backend tolerance at fp32 noise
-        out = render(small_scene, c, backend=backend, grad_sort_bf16=False)
+        out = render(small_scene, c, backend=backend, grad_sort="f32")
         return jnp.mean((out["rgb"] - target) ** 2)
 
     grads = {b: np.asarray(jax.grad(lambda p: loss(p, b))(cam.position))

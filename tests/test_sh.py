@@ -67,7 +67,7 @@ def test_render_backend_parity_sh(degree):
     def loss(sh, backend):
         # f32 grad sort: SH-band parity at fp32 accumulation tolerance
         out = render(scene._replace(sh=sh), cam, backend=backend,
-                     grad_sort_bf16=False, **kw)
+                     grad_sort="f32", **kw)
         return jnp.sum(out["rgb"] ** 2)
 
     g_x = jax.grad(loss)(scene.sh, "xla")
