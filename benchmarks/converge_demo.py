@@ -24,7 +24,7 @@ from _util import log  # noqa: E402 (jax cache + repo path config)
 
 def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
          max_steps=2000, plateau_db=0.05, n_views=6, width=256, height=256,
-         target_db=28.0, grad_sort="f32"):
+         target_db=28.0, grad_sort=None):
     from sage3d_tpu.parallel.densify import (DensifyConfig, DensifyState,
                                              densify_prune,
                                              init_densify_state)
@@ -125,7 +125,7 @@ def main(n=100_000, capacity=131_072, densify_every=100, densify_until=1200,
         "wall_s": round(wall, 1),
         "steps_per_s": round(curve[-1]["step"] / wall, 2),
         "n_gaussians": n, "capacity": capacity, "n_views": n_views,
-        "grad_sort": grad_sort,
+        "grad_sort": grad_sort or "default(f16)",
         "curve": curve,
     }))
     assert final >= target_db, f"plateau below target: {final} dB"

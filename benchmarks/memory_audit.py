@@ -75,6 +75,8 @@ def main(n_gauss=1_000_000, width=1920, height=1080):
         "feature_blocks_mb": round(p * 16 * 4 / 1e6, 1),      # (CB,16,128) fwd
         "grad_slots_mb": round(p * 16 * 4 / 1e6, 1),          # bwd dump buffer
         "grad_sort_f32_mb": round(p * 11 * 4 / 1e6, 1),       # id + 10 payload
+        # scaled-f16 DEFAULT and bf16 opt-in sort the same byte count
+        "grad_sort_f16_default_mb": round(p * (4 + 10 * 2) / 1e6, 1),
         "grad_sort_bf16_mb": round(p * (4 + 10 * 2) / 1e6, 1),
         "attrs_table_mb": round(n * 16 * 4 / 1e6, 1),
         "scene_mb": round(n * (3 + 3 + 4 + 1 + 3) * 4 / 1e6, 1),

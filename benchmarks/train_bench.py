@@ -124,7 +124,7 @@ def main(grad_sort=None):
         "train_steps_per_s": round(1.0 / dt, 2),
         "psnr_after_25_steps_db": round(psnr(first_loss), 2),
         "psnr_after_125_steps_db": round(psnr(final_loss), 2),
-        "grad_sort": grad_sort or "f32",
+        "grad_sort": grad_sort or "default(f16)",
         "backend": "pallas", "compile_s": round(compile_s, 1)}))
 
 
