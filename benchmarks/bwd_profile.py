@@ -72,8 +72,6 @@ tile_start = jnp.minimum(bins.tile_start, PAIR_CAP)
 count_c = jnp.minimum(
     jnp.clip(jnp.minimum(bins.tile_start + bins.tile_count, PAIR_CAP)
              - tile_start, 0, None), budgets["tile_capacity"]).astype(jnp.int32)
-nc = -(-count_c // CHUNK)
-chunk0 = (jnp.cumsum(nc) - nc).astype(jnp.int32)
 c_cap = PAIR_CAP // CHUNK + n_tiles
 n_blocks = PAIR_CAP // CHUNK + cp.GUARD_BLOCKS
 p_grad = c_cap * CHUNK
@@ -100,24 +98,24 @@ def timed(name, fn, args, iters=6):
     return dt
 
 
-def flat_fwd(c, attrs, pair_gauss, tile_start, count_c, chunk0):
-    out = flat(attrs + c * 0, pair_gauss, tile_start, count_c, chunk0)
+def flat_fwd(c, attrs, pair_gauss, tile_start, count_c):
+    out, _ = flat(attrs + c * 0, pair_gauss, tile_start, count_c)
     return jnp.sum(out[:, 0:3, :]) * 1e-9
 
 
 t_f = timed("flat fwd", flat_fwd,
-            (attrs, pair_gauss, tile_start, count_c, chunk0))
+            (attrs, pair_gauss, tile_start, count_c))
 
 
-def flat_fb(c, attrs, pair_gauss, tile_start, count_c, chunk0):
+def flat_fb(c, attrs, pair_gauss, tile_start, count_c):
     def loss(a):
-        out = flat(a, pair_gauss, tile_start, count_c, chunk0)
+        out, _ = flat(a, pair_gauss, tile_start, count_c)
         return jnp.sum(out[:, 0:5, :] ** 2) * 1e-9
     return jax.grad(loss)(attrs + c * 0)[0, 0]
 
 
 t_fb = timed("flat fwd+bwd", flat_fb,
-             (attrs, pair_gauss, tile_start, count_c, chunk0))
+             (attrs, pair_gauss, tile_start, count_c))
 
 
 # fusion stages on synthetic slot gradients

@@ -89,6 +89,21 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
             return jnp.sum(vals) * 1e-6
         return jax.lax.fori_loop(0, iters, body, c)
 
+    # Round-5: the supported batch path's TRAINING number — lax.map fwd+bwd
+    # (VERDICT r4 missing #4; vmap fwd+bwd measured 5.66 Mpix/s in phase 2).
+    def bwd_loss_seq(op, s, c):
+        s2 = s._replace(opacity_logits=op + c * 0)
+        return jnp.sum(jax.lax.map(lambda cam: one_fwd(s2, cam), cams))
+
+    gfn_seq = jax.grad(bwd_loss_seq)
+
+    @jax.jit
+    def bwd_loop_seq(s, c):
+        def body(i, c):
+            g = gfn_seq(s.opacity_logits, s, c)
+            return c + g[0] * 1e-6
+        return jax.lax.fori_loop(0, iters, body, c)
+
     fwd_dt, fwd_first = timeit(fwd_loop)
     log(f"fwd batch-{batch}: {fwd_dt*1e3:.1f} ms "
         f"({px/fwd_dt/1e6:.1f} Mpix/s, first {fwd_first:.0f}s)")
@@ -98,6 +113,9 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
     bwd_dt, bwd_first = timeit(bwd_loop)
     log(f"fwd+bwd batch-{batch}: {bwd_dt*1e3:.1f} ms "
         f"({px/bwd_dt/1e6:.1f} Mpix/s, first {bwd_first:.0f}s)")
+    bwd_seq_dt, bwd_seq_first = timeit(bwd_loop_seq)
+    log(f"fwd+bwd lax.map-{batch}: {bwd_seq_dt*1e3:.1f} ms "
+        f"({px/bwd_seq_dt/1e6:.1f} Mpix/s, first {bwd_seq_first:.0f}s)")
 
     print(json.dumps({
         "metric": "multicam_semantic_batch",
@@ -109,6 +127,8 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
         "fwd_seq_mpix_per_s": round(px / seq_dt / 1e6, 2),
         "fwd_bwd_s": round(bwd_dt, 4),
         "fwd_bwd_mpix_per_s": round(px / bwd_dt / 1e6, 2),
+        "fwd_bwd_seq_s": round(bwd_seq_dt, 4),
+        "fwd_bwd_seq_mpix_per_s": round(px / bwd_seq_dt / 1e6, 2),
         "budgets": budgets,
         "device": str(jax.devices()[0]),
     }))

@@ -123,6 +123,10 @@ def run_episode(
     1075-1128) and — when ``map_file``/``visualize`` allow — the trajectory
     PNG (:1780-1795, :781-994).
     """
+    # Loud contract check: the measures below read env members directly
+    # (env/protocol.py VLNEnvProtocol) — fail here, not as a silent zero.
+    from sage3d_tpu.env.protocol import assert_conforms
+    assert_conforms(env)
     if task_type is None:
         task_type = TaskTypeManager.infer_task_type(episode)
     adapted = adapt_episode_for_task(episode, task_type)
@@ -153,8 +157,8 @@ def run_episode(
         # no-goal termination check (timeout / collision)
         if task_type == "nogoalnav":
             if task.should_terminate_episode(
-                    collision_detected=env._collision_detected,
-                    episode_time=env._current_time - env._episode_start_time):
+                    collision_detected=env.collision_detected,
+                    episode_time=env.episode_time_s):
                 break
 
         if use_depth:
@@ -197,8 +201,8 @@ def run_episode(
             coverage = mm.measures.get("exploration_coverage")
             if task.is_success(
                     env.get_agent_pos(), adapted,
-                    collision_detected=env._collision_detected,
-                    episode_time=env._current_time - env._episode_start_time,
+                    collision_detected=env.collision_detected,
+                    episode_time=env.episode_time_s,
                     exploration_coverage=coverage.get() if coverage else 0.0):
                 is_stop_called = True
         else:

@@ -33,7 +33,10 @@ from ..renderer.scene import GaussianScene
 class RolloutMetrics(NamedTuple):
     positions: jnp.ndarray        # (N, 3)
     collisions: jnp.ndarray       # (N,) bool per-step collision flag
-    min_clearance: jnp.ndarray    # (N,) capsule-query clearance
+    min_clearance: jnp.ndarray    # (N,) capsule-query clearance; when a
+    #   collision_accel is used, values are CLIPPED at prune_margin (default
+    #   2.0 m) — "free by at least the margin". Widen via the rollout's
+    #   prune_margin kwarg if true far-field clearance is needed.
     goal_distance: jnp.ndarray    # (N,)
     mean_depth: jnp.ndarray       # (N,) mean rendered forward depth
 
@@ -80,6 +83,7 @@ def _rollout_impl(
     k_mid: int = 0,
     render_scene: GaussianScene | None = None,
     collision_accel: CollisionAccel | None = None,
+    prune_margin: float = 2.0,
 ) -> Dict[str, jnp.ndarray]:
     # Policy frames may render a reduced scene (renderer.scene.
     # importance_subset LOD — small frames don't resolve 1M splats anyway)
@@ -107,7 +111,8 @@ def _rollout_impl(
                 # Spatially-pruned query: only chunks near the agent run
                 # (ops/collision.build_collision_accel — the per-step scalar
                 # cond skips far chunks; clearance is margin-clipped).
-                q = capsule_query_pruned(collision_accel, p0, p1, r)
+                q = capsule_query_pruned(collision_accel, p0, p1, r,
+                                         prune_margin=prune_margin)
             else:
                 q = capsule_query(scene, p0, p1, r)
             clearance = q["clearance"][0]
@@ -137,7 +142,7 @@ def _rollout_impl(
 
 _ROLLOUT_STATICS = ("n_steps", "width", "height", "backend", "pair_capacity",
                     "tile_capacity", "use_capsule", "k_small", "m_big",
-                    "k_big", "m_mid", "k_mid")
+                    "k_big", "m_mid", "k_mid", "prune_margin")
 
 # Run one fully-on-device episode (single launch per episode).
 rollout = partial(jax.jit, static_argnames=_ROLLOUT_STATICS)(_rollout_impl)
@@ -151,7 +156,8 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                   duration_s: float = 1.0, k_small: int = 16,
                   m_big: int = 8192, k_big: int = 256, m_mid: int = 0,
                   k_mid: int = 0, render_scene=None,
-                  collision_accel=None, batch_mode: str = "vmap"):
+                  collision_accel=None, prune_margin: float = 2.0,
+                  batch_mode: str = "vmap"):
     """Batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
     ONE device program — B environments advance together, the standard RL
     env-throughput pattern (aggregate env-steps/s = B * n_steps / wall).
@@ -172,7 +178,8 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                              k_small=k_small, m_big=m_big, k_big=k_big,
                              m_mid=m_mid, k_mid=k_mid,
                              render_scene=render_scene,
-                             collision_accel=collision_accel)
+                             collision_accel=collision_accel,
+                             prune_margin=prune_margin)
     args = (jnp.asarray(start_xy, jnp.float32),
             jnp.asarray(start_yaw, jnp.float32),
             jnp.asarray(goal_xy, jnp.float32))

@@ -193,8 +193,20 @@ class GaussianVLNEnv:
         return int(self.state.consecutive_collisions)
 
     @property
-    def _collision_detected(self) -> bool:
+    def collision_detected(self) -> bool:
+        """Collision flag of the current step window (VLNEnvProtocol)."""
         return bool(self.state.collision_detected)
+
+    @property
+    def episode_time_s(self) -> float:
+        """Sim-time seconds since episode start (VLNEnvProtocol)."""
+        return float(self.state.time_s)
+
+    # legacy aliases (reference SimpleVLNEnv private names); the measures and
+    # runner read only the public VLNEnvProtocol members above
+    @property
+    def _collision_detected(self) -> bool:
+        return self.collision_detected
 
     @property
     def _episode_start_time(self) -> float:
@@ -202,7 +214,7 @@ class GaussianVLNEnv:
 
     @property
     def _current_time(self) -> float:
-        return float(self.state.time_s)
+        return self.episode_time_s
 
     # -- video --------------------------------------------------------------
     def start_video_recording(self) -> None:

@@ -153,7 +153,7 @@ def _shift_one(x, fill, rows: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
-                scratch, sems):
+                kend_ref, scratch, sems):
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -227,6 +227,13 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
     out_ref[0, 5:6, :] = trans
     out_ref[0, 6:7, :] = best_w
     out_ref[0, 7:8, :] = best_id
+    # Chunks actually processed before early termination. The backward's
+    # chunk-slot gradient buffer is packed by THIS count (not the full
+    # per-tile chunk budget): the bwd kernel replays the identical
+    # transmittance recurrence, so its stop chunk is bit-equal to k_end —
+    # every P-proportional backward stage (slot buffer, gradient sort,
+    # segment reduction) shrinks by the measured early-termination factor.
+    kend_ref[...] = jnp.zeros((1, 128), jnp.int32) + k_end
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +243,9 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
 HALF = CHUNK // 2    # backward sub-block rows (VMEM working-set control)
 
 
-def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
-                fwd_ref, gout_ref, dfeats_init_hbm, dfeats_hbm, scratch,
-                dscratch, sems, dsems):
+def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref,
+                allowed_ref, feats_hbm, fwd_ref, gout_ref, dfeats_init_hbm,
+                dfeats_hbm, scratch, dscratch, sems, dsems):
     del dfeats_init_hbm  # aliased into dfeats_hbm (pre-zeroed)
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -246,7 +253,10 @@ def _bwd_kernel(tiles_x, tile_start_ref, tile_count_ref, chunk0_ref, feats_hbm,
     ch0 = chunk0_ref[t]
     cb0 = start // CHUNK
     off = start - cb0 * CHUNK
-    n_chunks = pl.cdiv(count, CHUNK)
+    # Loop bound = the forward's measured k_end (capacity-clipped upstream):
+    # the transmittance recurrence below replays the forward bit-exactly, so
+    # bounding at k_end processes exactly the chunks the forward touched.
+    n_chunks = allowed_ref[t]
     ox = ((t % tiles_x) * TILE_W).astype(jnp.float32)
     oy = ((t // tiles_x) * TILE_H).astype(jnp.float32)
 
@@ -400,27 +410,35 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
+            out_specs=[
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
+                pl.BlockSpec((1, 128), lambda t, s, c: (t, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((2, 2, NFEAT, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        return pl.pallas_call(
+        out, kend = pl.pallas_call(
             fwd_kernel,
             grid_spec=grid,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, NCH, NPIX), jnp.float32),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles, NCH, NPIX), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, 128), jnp.int32),
+            ],
             interpret=interpret,
         )(tile_start, tile_count, feats3)
+        return out, kend[:, 0]
 
-    def bwd_call(feats3, tile_start, tile_count, chunk0, fwd_out, gout):
+    def bwd_call(feats3, tile_start, tile_count, chunk0, allowed, fwd_out,
+                 gout):
         grid = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c, z: (t, 0, 0)),
-                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c, z: (t, 0, 0)),
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c, z, a: (t, 0, 0)),
+                pl.BlockSpec((1, NCH, NPIX), lambda t, s, c, z, a: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -436,10 +454,11 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
             bwd_kernel,
             grid_spec=grid,
             out_shape=jax.ShapeDtypeStruct((c_cap, NFEAT, CHUNK), jnp.float32),
-            input_output_aliases={6: 0},  # zeros arg (incl. prefetch) -> out
+            input_output_aliases={7: 0},  # zeros arg (incl. prefetch) -> out
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(tile_start, tile_count, chunk0, feats3, fwd_out, gout, zeros)
+        )(tile_start, tile_count, chunk0, allowed, feats3, fwd_out, gout,
+          zeros)
 
     def _gather_feats(attrs, pair_gauss):
         idx = jnp.concatenate(
@@ -449,19 +468,29 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
         return rows.reshape(n_blocks, CHUNK, NFEAT).transpose(0, 2, 1)
 
     @jax.custom_vjp
-    def attr_composite(attrs, pair_gauss, tile_start, tile_count, chunk0):
+    def attr_composite(attrs, pair_gauss, tile_start, tile_count):
         feats3 = _gather_feats(attrs, pair_gauss)
         return fwd_call(feats3, tile_start, tile_count)
 
-    def _fwd(attrs, pair_gauss, tile_start, tile_count, chunk0):
+    def _fwd(attrs, pair_gauss, tile_start, tile_count):
         feats3 = _gather_feats(attrs, pair_gauss)
-        out = fwd_call(feats3, tile_start, tile_count)
-        return out, (feats3, pair_gauss, tile_start, tile_count, chunk0, out)
+        out, kend = fwd_call(feats3, tile_start, tile_count)
+        return (out, kend), (feats3, tile_start, tile_count, kend, out)
 
-    def _bwd(res, gout):
-        feats3, pair_gauss, tile_start, tile_count, chunk0, fwd_out = res
-        dslots = bwd_call(feats3, tile_start, tile_count, chunk0, fwd_out,
-                          gout)
+    def _bwd(res, gouts):
+        feats3, tile_start, tile_count, kend, fwd_out = res
+        gout = gouts[0]   # kend is int32 metadata — its cotangent is float0
+        # Pack gradient chunk slots by the forward's MEASURED k_end, not the
+        # worst-case per-tile chunk budget: slot [chunk0[t], chunk0[t] +
+        # allowed[t]) per tile, contiguous. Tiles past the static capacity
+        # get clipped chunk budgets (counted upstream as overflow via
+        # sum(kend) > c_cap — autotune sizes c_cap so this never clips).
+        csum = jnp.cumsum(kend)
+        chunk0 = (csum - kend).astype(jnp.int32)
+        allowed = jnp.clip(jnp.minimum(kend, c_cap - chunk0),
+                           0, None).astype(jnp.int32)
+        dslots = bwd_call(feats3, tile_start, tile_count, chunk0, allowed,
+                          fwd_out, gout)
         # Segment-sum the slot buffer directly: every gradient row carries
         # its own Gaussian id (GID_COL, written by the kernel), so ONE sort
         # whose payload is the NGRAD real gradient channels groups rows by
@@ -517,7 +546,7 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
             dg = dg / scales[None, :]
         d_attrs = jnp.concatenate(
             [dg, jnp.zeros((n_gauss, NFEAT - NGRAD), jnp.float32)], axis=1)
-        return d_attrs, None, None, None, None
+        return d_attrs, None, None, None
 
     attr_composite.defvjp(_fwd, _bwd)
     return attr_composite
@@ -525,7 +554,8 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_capacity",
                                               "pair_capacity",
-                                              "grad_sort_bf16", "grad_sort"))
+                                              "grad_sort_bf16", "grad_sort",
+                                              "grad_capacity"))
 def composite_tiles_pallas(
     proj: ProjectedGaussians,
     semantic_ids: jnp.ndarray,
@@ -536,12 +566,23 @@ def composite_tiles_pallas(
     pair_capacity: int = 0,
     grad_sort_bf16: bool = False,
     grad_sort: str = None,
+    grad_capacity: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Composite via the Pallas kernels. Same output schema as composite_tiles.
 
     ``pair_capacity`` (static, 0 = the binning entry budget) trims the sorted
     pair array: the feature gather and kernel work lists are sized by it, so
     callers bound memory/time; trimmed pairs are counted as overflow.
+
+    ``grad_capacity`` (static, in CHUNK-sized slots; 0 = the safe upper bound
+    pair_capacity//CHUNK + n_tiles) sizes the backward's gradient slot
+    buffer. The forward reports per-tile early-termination chunk counts
+    (k_end), and the backward packs its slots by those counts — on saturated
+    scenes only ~20-30% of the pair list is ever composited, so the dominant
+    gradient sort + segment reduction shrink by the same factor. Autotune it
+    from a measured forward (renderer.render.autotune_all(grad_margin=...));
+    if a run's total k_end exceeds the capacity the clipped chunks' gradients
+    are dropped and COUNTED in ``tile_overflow`` — never silently wrong.
     """
     tiles_x, tiles_y = bins.tiles_x, bins.tiles_y
     n_tiles = tiles_x * tiles_y
@@ -558,12 +599,13 @@ def composite_tiles_pallas(
         - tile_start_t, 0, None)
     count_c = jnp.minimum(tile_count_t, tile_capacity).astype(jnp.int32)
 
-    # Chunk-slot layout for the backward gradient stream: tile t's chunk k
-    # owns slot chunk0[t]+k — disjoint per (tile, chunk), so the backward
-    # kernel streams whole blocks with no cross-tile overlap.
-    nc = -(-count_c // CHUNK)                          # chunks per tile (T,)
-    chunk0 = (jnp.cumsum(nc) - nc).astype(jnp.int32)   # exclusive prefix
-    c_cap = pair_capacity // CHUNK + n_tiles           # static upper bound
+    # Backward gradient slots are packed at RUN time from the forward's
+    # per-tile early-termination chunk counts (see _bwd in
+    # _get_attr_composite); here only the static capacity is chosen.
+    if grad_capacity and grad_capacity > 0:
+        c_cap = int(grad_capacity)
+    else:
+        c_cap = pair_capacity // CHUNK + n_tiles       # safe upper bound
     n_blocks = pair_capacity // CHUNK + GUARD_BLOCKS   # feature blocks
 
     # Per-Gaussian attribute table, assembled ONCE (N rows); tile-local
@@ -602,7 +644,12 @@ def composite_tiles_pallas(
         raise ValueError(f"unknown grad_sort mode: {mode}")
     flat = _get_attr_composite(n_tiles, tiles_x, n_blocks, c_cap, n,
                                _use_interpret(), mode)
-    out = flat(attrs, pair_gauss_t, tile_start_t, count_c, chunk0)
+    out, kend = flat(attrs, pair_gauss_t, tile_start_t, count_c)
+    # Gradient-slot accounting: chunks past the static capacity are clipped
+    # in the backward (their gradients dropped) — count them as overflow so
+    # an undersized grad_capacity can never pass silently.
+    grad_chunks = jnp.sum(kend)
+    grad_overflow = jnp.maximum(grad_chunks - c_cap, 0) * CHUNK
 
     imgs = out.transpose(0, 2, 1).reshape(tiles_y, tiles_x, TILE_H, TILE_W,
                                            NCH)
@@ -616,6 +663,7 @@ def composite_tiles_pallas(
         "alpha": imgs[..., 4],
         "trans": imgs[..., 5],
         "semantic": jax.lax.stop_gradient(imgs[..., 7]).astype(jnp.int32),
+        "grad_chunks": grad_chunks,
         "tile_overflow": jnp.sum(jnp.maximum(tile_count_t - tile_capacity, 0))
-        + trim_overflow,
+        + trim_overflow + grad_overflow,
     }

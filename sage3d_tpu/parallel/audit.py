@@ -47,13 +47,30 @@ def _count_stablehlo(text: str) -> Dict[str, int]:
 
 def _collect_hlo_ops(text: str, opname: str):
     """Parse optimized-HLO lines like `%x = f32[4,64,3]{...} all-gather(...`
-    into (dtype, shape, bytes) records."""
+    into (dtype, shape, bytes) records. Tuple-shaped collectives — XLA's
+    combiner emits `= (f32[a]{..}, f32[b]{..}) all-reduce(...)` — are
+    summed over their components (round-4 missed these, reporting 4 bytes
+    for the merged gradient all-reduce)."""
     out = []
-    pat = re.compile(
-        r"=\s*(\w+)\[([0-9,]*)\][^=]*\b" + opname.replace("-", r"\-") + r"\(")
+    op = opname.replace("-", r"\-")
+    pat = re.compile(r"=\s*(\w+)\[([0-9,]*)\][^=]*\b" + op + r"\(")
+    tup = re.compile(r"=\s*\(([^)]*)\)[^=]*\b" + op + r"\(")
+    elem = re.compile(r"(\w+)\[([0-9,]*)\]")
     for line in text.splitlines():
         m = pat.search(line)
         if not m:
+            mt = tup.search(line)
+            if mt:
+                total, dt0 = 0, None
+                for dtype, dims in elem.findall(mt.group(1)):
+                    n = 1
+                    for x in dims.split(","):
+                        if x:
+                            n *= int(x)
+                    total += n * _DTYPE_BYTES.get(dtype, 4)
+                    dt0 = dt0 or dtype
+                out.append({"dtype": f"tuple:{dt0}", "shape": ("tuple",),
+                            "bytes": total})
             continue
         dtype, dims = m.group(1), m.group(2)
         shape = tuple(int(x) for x in dims.split(",") if x) if dims else ()
@@ -67,7 +84,9 @@ def _collect_hlo_ops(text: str, opname: str):
 
 def audit_tpu_schedule(n_gauss: int = 262144, width: int = 128,
                        height: int = 128, grad_buckets: int = 4,
-                       topology: str = "v5e:2x4") -> Dict:
+                       topology: str = "v5e:2x4",
+                       pair_capacity: int = 1 << 18,
+                       tile_capacity: int = 1024) -> Dict:
     """Collective/compute OVERLAP evidence from the REAL TPU compiler's
     schedule (VERDICT r3 #6 second half), no TPU pod needed: AOT-compile the
     sharded train step against a local libtpu topology description
@@ -104,7 +123,14 @@ def audit_tpu_schedule(n_gauss: int = 262144, width: int = 128,
     from .train import (TrainState, make_optimizer, make_train_step,
                         pad_scene_to, param_sharding, scene_params)
 
-    n_data, n_tile = 2, 4
+    # Mesh shape is DERIVED from the topology's device count (data axis
+    # fixed at 2, tile axis takes the rest) so a non-2x4 topology string
+    # reshapes and reports correctly instead of miscomputing (ADVICE r4).
+    n_devices = len(topo.devices)
+    if n_devices % 2:
+        raise RuntimeError(f"topology {topology!r} has {n_devices} devices; "
+                           "need an even count for the (data=2, tile=N/2) mesh")
+    n_data, n_tile = 2, n_devices // 2
     mesh = Mesh(np.array(topo.devices).reshape(n_data, n_tile),
                 ("data", "tile"))
     scene = pad_scene_to(synthetic_room(num_gaussians=n_gauss, seed=3),
@@ -115,8 +141,9 @@ def audit_tpu_schedule(n_gauss: int = 262144, width: int = 128,
         for i in range(2 * n_data)])
     opt = make_optimizer(1e-3)
     train_step, _ = make_train_step(scene, cams, mesh, optimizer=opt,
-                                    backend="xla", pair_capacity=1 << 18,
-                                    tile_capacity=1024,
+                                    backend="xla",
+                                    pair_capacity=pair_capacity,
+                                    tile_capacity=tile_capacity,
                                     grad_buckets=grad_buckets)
     params = scene_params(scene)
     pshard = param_sharding(mesh)
@@ -173,9 +200,32 @@ def audit_tpu_schedule(n_gauss: int = 262144, width: int = 128,
     fus = [i for k, i in events if k == "F"]
     fus_after_first_ar = sum(1 for i in fus if ar and i > ar[0])
 
+    ag_ops = _collect_hlo_ops(txt, "all-gather")
+    rs_ops = _collect_hlo_ops(txt, "reduce-scatter")
+    ar_ops = _collect_hlo_ops(txt, "all-reduce")
+    try:
+        ma = compiled.memory_analysis()
+        mem = {"argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+               "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
+               "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+               "peak_device_mb": round(
+                   (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes) / 2**20, 1)}
+    except Exception as e:  # noqa: BLE001 - analysis is backend-dependent
+        mem = {"error": repr(e)}
+
     report = {
         "topology": topology,
-        "num_partitions": 8,
+        "num_partitions": n_devices,
+        "mesh": {"data": n_data, "tile": n_tile},
+        "workload": {"n_gauss": n_gauss, "width": width, "height": height,
+                     "pair_capacity": pair_capacity,
+                     "tile_capacity": tile_capacity},
+        "memory_analysis_per_device": mem,
+        "collective_bytes": {
+            "all_gather": sum(o["bytes"] for o in ag_ops),
+            "reduce_scatter": sum(o["bytes"] for o in rs_ops),
+            "all_reduce": sum(o["bytes"] for o in ar_ops)},
         "all_gathers": {"total": len(ag), "async": ag_async,
                         "fusions_interleaved": fus_between_ags},
         "grad_all_reduces": {"total": len(ar),
@@ -194,7 +244,8 @@ def audit_tpu_schedule(n_gauss: int = 262144, width: int = 128,
 
 def audit_sharded_step(mesh, n_gauss: int = 256, width: int = 64,
                        height: int = 64, grad_buckets: int = 4,
-                       backend: str = "xla") -> Dict:
+                       backend: str = "xla", pair_capacity: int = 1 << 14,
+                       tile_capacity: int = 256) -> Dict:
     """Compile the sharded train step on ``mesh`` and return the audit dict.
 
     Raises AssertionError when the structure is wrong (missing bucketed
@@ -226,8 +277,9 @@ def audit_sharded_step(mesh, n_gauss: int = 256, width: int = 64,
     # (where make_train_step otherwise takes the direct path with zero
     # collectives and the written-program assertions below would fire).
     train_step, _ = make_train_step(scene, cams, mesh, optimizer=opt,
-                                    backend=backend, pair_capacity=1 << 14,
-                                    tile_capacity=256,
+                                    backend=backend,
+                                    pair_capacity=pair_capacity,
+                                    tile_capacity=tile_capacity,
                                     grad_buckets=grad_buckets,
                                     force_shard_map=True)
     params = scene_params(scene)
@@ -298,3 +350,81 @@ def audit_sharded_step(mesh, n_gauss: int = 256, width: int = 64,
         "param_shards": shard_report,
         "comm_model": comm_model,
     }
+
+
+def audit_tpu_schedule_render(n_gauss: int = 1 << 20, width: int = 1920,
+                              height: int = 1088,
+                              topology: str = "v5e:2x4",
+                              backend: str = "pallas",
+                              pair_capacity: int = 1 << 22,
+                              tile_capacity: int = 2048) -> Dict:
+    """AOT-compile the SHARDED RENDER-ONLY path (parallel/sharded_render.py:
+    render_tile_sharded — Gaussian-sharded params all-gathered onto
+    tile-band shards) at flagship scale against a local libtpu topology and
+    report the real compiler's schedule facts + per-device memory analysis
+    (VERDICT r4 next #5). No device needed."""
+    import numpy as np
+
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(topology_name=topology,
+                                            platform="tpu")
+    except Exception as e:  # noqa: BLE001 - environment-dependent
+        raise RuntimeError(f"no local TPU topology support: {e!r}")
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..renderer.camera import agent_camera
+    from ..renderer.scene import synthetic_room
+    from .sharded_render import render_tile_sharded
+
+    n_devices = len(topo.devices)
+    mesh = Mesh(np.array(topo.devices).reshape(1, n_devices),
+                ("data", "tile"))
+    scene = synthetic_room(num_gaussians=n_gauss, seed=3)
+    camera = agent_camera((0.0, -3.5), yaw=1.57, width=width, height=height)
+
+    pshard = NamedSharding(mesh, P("tile"))
+
+    def sds(x):
+        sh = pshard if np.ndim(x) and np.shape(x)[0] == n_gauss \
+            else NamedSharding(mesh, P())
+        return jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype,
+                                    sharding=sh)
+
+    scene_struct = jax.tree_util.tree_map(sds, scene)
+
+    @jax.jit
+    def fwd(s):
+        return render_tile_sharded(s, camera, mesh, backend=backend,
+                                   pair_capacity=pair_capacity,
+                                   tile_capacity=tile_capacity)
+
+    with mesh:
+        compiled = fwd.lower(scene_struct).compile()
+    txt = compiled.as_text()
+    ag_ops = _collect_hlo_ops(txt, "all-gather")
+    ag_async = len(re.findall(
+        r'async_collective_name="all-gather-start', txt))
+    try:
+        ma = compiled.memory_analysis()
+        mem = {"argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+               "output_mb": round(ma.output_size_in_bytes / 2**20, 1),
+               "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+               "peak_device_mb": round(
+                   (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes) / 2**20, 1)}
+    except Exception as e:  # noqa: BLE001
+        mem = {"error": repr(e)}
+    report = {
+        "topology": topology, "num_partitions": n_devices,
+        "backend": backend,
+        "workload": {"n_gauss": n_gauss, "width": width, "height": height,
+                     "pair_capacity": pair_capacity,
+                     "tile_capacity": tile_capacity},
+        "memory_analysis_per_device": mem,
+        "all_gathers": {"count": len(ag_ops), "async": ag_async,
+                        "bytes": sum(o["bytes"] for o in ag_ops)},
+    }
+    assert ag_ops, "sharded render compiled without parameter all-gathers"
+    return report

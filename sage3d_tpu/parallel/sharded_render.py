@@ -73,10 +73,10 @@ def render_tile_sharded(
     ) if shard_gaussians else jax.tree_util.tree_map(lambda _: P(), scene)
 
     out_spec = {k: (P(tile_axis, None, None) if k in ("rgb", "rgb_acc")
-                    else P(tile_axis) if k == "overflow"
+                    else P(tile_axis) if k in ("overflow", "grad_chunks")
                     else P(tile_axis, None))
                 for k in ("rgb", "depth", "alpha", "semantic", "trans",
-                          "depth_acc", "rgb_acc", "overflow")}
+                          "depth_acc", "rgb_acc", "overflow", "grad_chunks")}
 
     @partial(shard_map, mesh=mesh, in_specs=(scene_spec,),
              out_specs=out_spec, check_vma=False)
@@ -94,10 +94,12 @@ def render_tile_sharded(
         band_cam = camera._replace(cy=camera.cy - y0, height=band_h)
         out = render(full, band_cam, backend=backend,
                      clamp_dims=(camera.width, camera.height), **render_kw)
-        return {k: (v[None] if k == "overflow" else v)
+        return {k: (v[None] if k in ("overflow", "grad_chunks") else v)
                 for k, v in out.items()}
 
     out = _render_band(scene)
     out["overflow"] = jnp.sum(out["overflow"])
-    return {k: (v[:camera.height] if k != "overflow" else v)
+    out["grad_chunks"] = jnp.sum(out["grad_chunks"])
+    return {k: (v[:camera.height] if k not in ("overflow", "grad_chunks")
+                else v)
             for k, v in out.items()}

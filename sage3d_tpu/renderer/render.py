@@ -49,7 +49,8 @@ def autotune_budgets(scene: GaussianScene, camera: Camera,
 
 def autotune_all(scene: GaussianScene, camera: Camera,
                  sh_degree: Optional[int] = None,
-                 pair_margin: Optional[float] = None) -> Dict[str, int]:
+                 pair_margin: Optional[float] = None,
+                 grad_margin: Optional[float] = None) -> Dict[str, int]:
     """autotune_budgets + a second probe that RUNS the binning with the chosen
     budgets and pow2-rounds the max per-tile pair count into
     ``tile_capacity`` — so the measured pipeline drops ZERO pairs anywhere
@@ -86,6 +87,26 @@ def autotune_all(scene: GaussianScene, camera: Camera,
     if pair_margin is not None:
         tight = -(-int(int(n_pairs) * pair_margin + 256) // 128) * 128
         budgets["pair_capacity"] = min(budgets["pair_capacity"], tight)
+    if grad_margin is not None:
+        # Third probe: run the Pallas FORWARD once and read the total
+        # early-termination chunk count (sum of per-tile k_end). The
+        # backward's gradient slot buffer — and with it the dominant
+        # gradient sort + segment reduction — is then sized to the chunks
+        # the compositor actually processes (~20-30% of the pair list on
+        # saturated scenes) instead of the worst-case pair capacity.
+        # Use for a FIXED (scene, camera) benchmark or between trainer
+        # re-tunes; k_end grows as a training run reshuffles opacities, so
+        # the margin buys drift headroom and overflow stays COUNTED in the
+        # render output, never silent.
+        @partial(jax.jit, static_argnames=())
+        def kend_probe(s):
+            out = render(s, camera, backend="pallas", sh_degree=sh_degree,
+                         **budget_kwargs(budgets))
+            return out["grad_chunks"]
+
+        chunks = int(jax.device_get(kend_probe(scene)))
+        budgets["grad_capacity"] = -(-int(chunks * grad_margin + 64) // 64) * 64
+        budgets["grad_chunks_measured"] = chunks
     return budgets
 
 
@@ -155,6 +176,7 @@ def budget_kwargs(budgets: Dict[str, int]) -> Dict[str, int]:
            if k in budgets}
     out["m_mid"] = int(budgets.get("m_mid", 0))
     out["k_mid"] = int(budgets.get("k_mid", 0))
+    out["grad_capacity"] = int(budgets.get("grad_capacity", 0))
     return out
 
 
@@ -186,6 +208,7 @@ def render(
     k_mid: int = 0,
     grad_sort_bf16: bool = False,
     grad_sort: str = None,
+    grad_capacity: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Render one camera. Returns a dict:
 
@@ -224,7 +247,8 @@ def render(
                                      height, tile_capacity=tile_capacity,
                                      pair_capacity=pair_capacity,
                                      grad_sort_bf16=grad_sort_bf16,
-                                     grad_sort=grad_sort)
+                                     grad_sort=grad_sort,
+                                     grad_capacity=grad_capacity)
         overflow = bins.overflow + out.pop("tile_overflow")
     else:
         raise ValueError(f"unknown backend: {backend}")
@@ -241,6 +265,10 @@ def render(
         "depth_acc": out["depth_acc"],
         "rgb_acc": out["rgb"],
         "overflow": overflow,
+        # total early-termination chunks the Pallas compositor processed
+        # (sizes the backward gradient buffer — see autotune_all grad_margin);
+        # 0 on backends without the instrumented kernel
+        "grad_chunks": out.pop("grad_chunks", jnp.int32(0)),
     }
 
 

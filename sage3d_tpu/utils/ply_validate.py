@@ -52,10 +52,21 @@ def _read_header(f) -> List[tuple]:
             cur = (name, int(count), [])
             elements.append(cur)
         elif line.startswith("property"):
-            _, dtype, pname = line.split()
-            cur[2].append((pname, dtype))
+            parts = line.split()
+            if len(parts) == 3 and cur is not None:
+                _, dtype, pname = parts
+                cur[2].append((pname, dtype))
+            else:
+                # `property list ...` (standard uncompressed PLY) or other
+                # non-scalar forms: record as a failing schema entry instead
+                # of raising — validate_compressed_ply's contract is
+                # "failures are data" (ADVICE r4).
+                if cur is not None:
+                    cur[2].append((line, "<unsupported>"))
         elif line == "end_header":
             break
+        elif line == "":
+            raise ValueError("EOF before end_header")
     if fmt is None or "binary_little_endian" not in fmt:
         raise ValueError(f"expected binary_little_endian, got: {fmt}")
     return elements
@@ -79,6 +90,12 @@ def validate_compressed_ply(path, max_report: int = 8) -> Dict:
         check("header.elements", names[:2] == ["chunk", "vertex"],
               f"element order: {names}")
         by_name = {e[0]: e for e in elements}
+        if "chunk" not in by_name or "vertex" not in by_name:
+            # a standard (uncompressed) PLY: no chunk element at all. Report
+            # the failure instead of KeyError-ing (ADVICE r4).
+            check("header.compressed_schema", False,
+                  f"missing chunk/vertex elements; found {names}")
+            return {"path": str(path), "ok": False, "checks": checks}
 
         # chunk element schema + 256-splat arithmetic
         _, n_chunks, cprops = by_name["chunk"]

@@ -245,3 +245,38 @@ def test_nogoal_episode(world):
     assert "episode_time" in m and "explored_areas" in m
     assert rec["episode_info"]["stop_override_count"] > 0
     assert m["explored_areas"] >= 1.0
+
+
+def test_env_conforms_to_protocol(world):
+    """GaussianVLNEnv satisfies the documented env<->measures contract
+    (env/protocol.py) — every member the measures/runner touch is public
+    API, and removing/renaming any of them fails HERE, not as silent
+    zeros in ICP/CR (VERDICT r4 weak #5)."""
+    from sage3d_tpu.env.protocol import VLNEnvProtocol, assert_conforms
+
+    env, episodes, tmp = world
+    assert isinstance(env, VLNEnvProtocol)
+    assert_conforms(env)
+
+    # semantics: episode clock advances with sim steps, collision counters
+    # start clean after a reset
+    env.set_start_pose(episodes[0]["start_position"],
+                       episodes[0]["start_rotation"])
+    env.reset_episode_time()
+    t0 = env.episode_time_s
+    env.apply_cmd_for(0.2, 0.0, 0.0, 1.0)
+    assert env.episode_time_s > t0
+    assert env.get_collision_count() >= 0
+    assert env.consecutive_collisions >= 0
+    assert isinstance(env.collision_detected, bool)
+
+    # a broken env (missing the collision counter) is rejected loudly
+    class Broken:
+        def get_agent_pos(self):
+            return np.zeros(3)
+
+        def get_yaw(self):
+            return 0.0
+
+    with pytest.raises(TypeError, match="consecutive_collisions"):
+        assert_conforms(Broken())

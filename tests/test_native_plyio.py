@@ -181,3 +181,120 @@ def test_validate_compressed_ply(tmp_path):
     assert not report2["ok"]
     failed = {c["check"] for c in report2["checks"] if not c["ok"]}
     assert "chunk.bounds_ordered" in failed
+
+
+# ---------------------------------------------------------------------------
+# Third-party-writer authentication (VERDICT r4 #6): the decoder is validated
+# against a port of the PlayCanvas splat-transform COMPRESSION algorithm
+# (tests/splat_transform_port.py) operating on raw attributes — NOT against
+# this file's write_compressed_ply, which only proves a self round-trip.
+# ---------------------------------------------------------------------------
+
+def _canon_quat_wxyz(q):
+    """Both sides of q/-q represent one rotation; canonicalize like the
+    writer does (largest |component| in xyzw order made positive)."""
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    xyzw = q[:, [1, 2, 3, 0]]
+    largest = np.argmax(np.abs(xyzw), axis=1)
+    sign = np.where(xyzw[np.arange(len(q)), largest] < 0, -1.0, 1.0)
+    return q * sign[:, None]
+
+
+def test_decoder_against_splat_transform_port(tmp_path):
+    from splat_transform_port import write_compressed_ply_splat_transform
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(3000, seed=11, sh_degree=3)
+    n = scene.num_gaussians
+    rng = np.random.default_rng(5)
+    means = np.asarray(scene.means)
+    log_scales = np.asarray(scene.log_scales)
+    quats = np.asarray(scene.quats)
+    # random sign flips: the writer must canonicalize, the decoder must
+    # reproduce the same rotation regardless
+    quats = quats * np.where(rng.random(n) < 0.5, -1.0, 1.0)[:, None]
+    opac = np.clip(np.asarray(scene.opacity_logits), -5.0, 5.0)
+    sh = np.clip(np.asarray(scene.sh), -3.9, 3.9)
+
+    p = tmp_path / "3dgs_compressed.ply"
+    order = write_compressed_ply_splat_transform(p, means, log_scales, quats,
+                                                 opac, sh)
+    dec = pn.load_compressed_ply(p)
+    assert dec.num_gaussians == n
+
+    got_means = np.asarray(dec.means)
+    # per-splat position tolerance: the chunk range / 2^bits (y has 10 bits)
+    chunk_lo = got_means.reshape(-1)  # placeholder; recompute from chunks
+    ci = np.arange(n) // 256
+    exp_means = means[order]
+    ranges = np.stack([
+        np.ptp(exp_means[ci == c], axis=0) for c in range(ci.max() + 1)])[ci]
+    tol = ranges / np.array([2047.0, 1023.0, 2047.0]) + 1e-5
+    assert np.all(np.abs(got_means - exp_means) <= tol), (
+        f"worst pos err {np.abs(got_means - exp_means).max():.2e}")
+
+    exp_ls = log_scales[order]
+    ls_rng = np.stack([
+        np.ptp(exp_ls[ci == c], axis=0) for c in range(ci.max() + 1)])[ci]
+    ls_tol = ls_rng / np.array([2047.0, 1023.0, 2047.0]) + 1e-5
+    assert np.all(np.abs(np.asarray(dec.log_scales) - exp_ls) <= ls_tol)
+
+    got_q = _canon_quat_wxyz(np.asarray(dec.quats))
+    exp_q = _canon_quat_wxyz(quats[order])
+    # q and -q are one rotation; near-tied largest components may flip the
+    # canonical sign across the 10-bit lattice, so compare both signs
+    err = np.minimum(np.abs(got_q - exp_q).max(axis=1),
+                     np.abs(got_q + exp_q).max(axis=1))
+    assert np.max(err) < 2.5e-3   # 10-bit quat lattice
+
+    got_alpha = 1 / (1 + np.exp(-np.asarray(dec.opacity_logits)))
+    exp_alpha = 1 / (1 + np.exp(-opac[order]))
+    assert np.max(np.abs(got_alpha - exp_alpha)) <= 0.5 / 255 + 1e-6
+
+    # SH: band 0 through the per-chunk color bounds (8-bit), bands 1+
+    # through the global [-4, 4] 8-bit lattice
+    got_sh = np.asarray(dec.sh)
+    exp_sh = sh[order]
+    assert got_sh.shape == exp_sh.shape
+    col_rng = np.stack([
+        np.ptp(0.5 + exp_sh[ci == c, 0, :] * 0.2820948, axis=0)
+        for c in range(ci.max() + 1)])[ci]
+    dc_tol = (col_rng / 255.0 + 2e-5) / 0.2820948
+    assert np.all(np.abs(got_sh[:, 0, :] - exp_sh[:, 0, :]) <= dc_tol)
+    assert np.max(np.abs(got_sh[:, 1:, :] - exp_sh[:, 1:, :])) \
+        <= 0.5 * 8 / 255 + 1e-6
+
+    # the full assumption ledger passes on the third-party-format file
+    from sage3d_tpu.utils.ply_validate import validate_compressed_ply
+    report = validate_compressed_ply(p)
+    failed = [c for c in report["checks"]
+              if not c["ok"] and c["check"] != "native_vs_python"]
+    assert report["n_vertices"] == n and not failed, failed
+
+    # and it renders
+    from sage3d_tpu.renderer.camera import make_camera
+    from sage3d_tpu.renderer.render import render
+    cam = make_camera(position=[0, -8, 1], forward=[0, 1, 0], width=64,
+                      height=48)
+    out = render(dec, cam, backend="xla")
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_splat_transform_port_morton_locality():
+    """The Morton reorder groups spatial neighbours: chunk AABBs must be far
+    smaller than the scene AABB (this is what makes 11-bit positions usable
+    on real scenes — and what the repo's own writer never exercised)."""
+    from splat_transform_port import morton_order
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(20000, seed=3)
+    means = np.asarray(scene.means)
+    order = morton_order(means)
+    m = means[order]
+    ci = np.arange(len(m)) // 256
+    diag = []
+    for c in range(ci.max() + 1):
+        pts = m[ci == c]
+        diag.append(np.linalg.norm(pts.max(0) - pts.min(0)))
+    scene_diag = np.linalg.norm(means.max(0) - means.min(0))
+    assert np.median(diag) < 0.35 * scene_diag

@@ -53,8 +53,9 @@ def test_pallas_backward_matches_oracle(scene, cam):
     def loss(p, backend):
         s = scene._replace(**p)
         # f32 grad sort: this test isolates the KERNEL math against the
-        # oracle at fp32 accumulation-noise tolerance; the bf16 default's
-        # payload quantization is bounded separately below.
+        # oracle at fp32 accumulation-noise tolerance; the scaled-f16
+        # DEFAULT's payload quantization is bounded separately below
+        # (GRAD_SORT_DEFAULT == "f16", composite_pallas.py).
         out = render(s, cam, backend=backend, pair_capacity=1 << 14,
                      grad_sort="f32")
         # exercise rgb + depth + alpha + trans cotangents
@@ -134,6 +135,52 @@ def test_pallas_backward_f16_sort_close(scene, cam):
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
                                    err_msg=f"f16 scale invariance: {name}")
+
+
+def test_grad_capacity_compaction_exact_and_overflow(scene, cam):
+    """The backward's gradient slot buffer is packed by the forward's
+    per-tile early-termination chunk counts (k_end). A grad_capacity that
+    covers the measured chunk total must reproduce the uncompacted gradients
+    BIT-EXACTLY (the bwd kernel replays the identical transmittance
+    recurrence, so its stop chunk equals k_end); an undersized capacity must
+    report overflow instead of failing silently."""
+    def run(grad_capacity):
+        def loss(op):
+            s = scene._replace(opacity_logits=op)
+            out = render(s, cam, backend="pallas", pair_capacity=1 << 14,
+                         grad_sort="f32", grad_capacity=grad_capacity)
+            return jnp.mean(out["rgb"] ** 2), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(
+            scene.opacity_logits)
+        return np.asarray(g), int(out["overflow"]), int(out["grad_chunks"])
+
+    g_full, ovf_full, chunks = run(0)          # safe upper bound
+    assert ovf_full == 0 and chunks > 0
+    # tight capacity = measured chunks exactly -> identical gradients
+    g_tight, ovf_tight, _ = run(chunks)
+    assert ovf_tight == 0
+    np.testing.assert_array_equal(g_tight, g_full)
+    # undersized capacity -> loud overflow (dropped chunks counted in pairs)
+    g_small, ovf_small, _ = run(max(chunks // 2, 1))
+    assert ovf_small > 0
+
+
+def test_autotune_grad_margin_budgets(scene, cam):
+    """autotune_all(grad_margin=...) measures the forward's chunk total and
+    sizes grad_capacity above it; the budgets render overflow-free."""
+    from sage3d_tpu.renderer.render import autotune_all, budget_kwargs
+
+    budgets = autotune_all(scene, cam, grad_margin=1.25)
+    assert budgets["grad_capacity"] >= budgets["grad_chunks_measured"]
+
+    def loss(op):
+        s = scene._replace(opacity_logits=op)
+        out = render(s, cam, backend="pallas", **budget_kwargs(budgets))
+        return jnp.mean(out["rgb"] ** 2), out["overflow"]
+
+    (_, ovf), g = jax.value_and_grad(loss, has_aux=True)(scene.opacity_logits)
+    assert int(ovf) == 0
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_pallas_backward_bf16_sort_close(scene, cam):

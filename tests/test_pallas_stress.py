@@ -58,8 +58,9 @@ def test_multichunk_early_termination_forward_and_backward():
 
     def loss(op, backend):
         s = scene._replace(opacity_logits=op)
-        # f32 grad sort: kernel-math isolation at fp32 tolerance (the bf16
-        # default is bounded in test_pallas_backward_bf16_sort_close)
+        # f32 grad sort: kernel-math isolation at fp32 tolerance (the
+        # scaled-f16 DEFAULT is bounded in test_pallas_backward_f16_sort_close,
+        # the bf16 opt-in in test_pallas_backward_bf16_sort_close)
         o = render(s, CAM, backend=backend, pair_capacity=1 << 16,
                    tile_capacity=1024, grad_sort="f32")
         return jnp.mean(o["rgb"] ** 2) + 0.1 * jnp.mean(o["depth_acc"])
