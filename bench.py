@@ -155,8 +155,9 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
 
     params = {"opacity_logits": scene.opacity_logits, "means": scene.means}
     # Gradients in ALL THREE sort modes against one xla reference: the
-    # scaled-f16 default, the f32 exact opt-out, and the bf16 opt-in.
-    # Keyed grad_*_<mode>sort with grad_* aliasing the f16 DEFAULT, so
+    # exact-f32 default (round 5: k_end packing made exactness free), the
+    # trainer-certified scaled-f16 option, and the bf16 opt-in.
+    # Keyed grad_*_<mode>sort with grad_* aliasing the f32 DEFAULT, so
     # every mode's bound is asserted on every run and none can erode
     # silently.
     gx = jax.device_get(jax.jit(
@@ -180,8 +181,8 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
     for k in ("rgb", "depth_acc", "alpha", "trans"):
         report[f"fwd_{k}"] = diff_stats(outs["pallas"][k], outs["xla"][k])
     for k in params:
-        report[f"grad_{k}"] = diff_stats(grads["f16"][k], gx[k])  # DEFAULT
-        for mode_name in ("f32", "bf16"):
+        report[f"grad_{k}"] = diff_stats(grads["f32"][k], gx[k])  # DEFAULT
+        for mode_name in ("f16", "bf16"):
             report[f"grad_{k}_{mode_name}sort"] = diff_stats(
                 grads[mode_name][k], gx[k])
     # Tolerances: rgb/depth/alpha compare at 1e-3 relative. ``trans`` uses an
@@ -191,12 +192,12 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
     # frames the xla value underruns to ~1e-6 and a relative diff on that
     # denominator is meaningless — the design guarantee is |T_pallas - T_xla|
     # <= TRANS_EPS. Gradient tolerances are mode-specific and ALL asserted:
-    #   scaled-f16 payload sort (DEFAULT): 2e-3 — one float16 rounding
+    #   f32 sort (DEFAULT since round 5): 5e-4 — pure fp32
+    #     accumulation-order noise (sublane scans vs cumsum); measured
+    #     ~1e-4 since the segreduce Precision.HIGHEST fix.
+    #   scaled-f16 payload sort (option): 2e-3 — one float16 rounding
     #     (2^-11 of the channel absmax, which the scaling normalizes);
     #     trainer-certified equal to f32 (PERF_NOTES round-4 FINDING).
-    #   f32 sort (exact opt-out): 5e-4 — pure fp32 accumulation-order
-    #     noise (sublane scans vs cumsum); measured ~1e-4 since the
-    #     segreduce Precision.HIGHEST fix.
     #   bf16 payload sort (speed option): 5e-3 — one bf16 rounding (2^-8
     #     relative) of each per-row gradient payload; measured ~2-4e-3.
     #     Numerically identical to the round-3 MXU precision drift, and
@@ -206,8 +207,8 @@ def parity_check(scene, camera, budgets, grad_scale=1e-6):
         all(report[f"fwd_{k}"]["max_rel"] < 1e-3
             for k in ("rgb", "depth_acc", "alpha"))
         and report["fwd_trans"]["max_abs"] < 2e-4
-        and all(report[f"grad_{k}"]["max_rel"] < 2e-3 for k in params)
-        and all(report[f"grad_{k}_f32sort"]["max_rel"] < 5e-4
+        and all(report[f"grad_{k}"]["max_rel"] < 5e-4 for k in params)
+        and all(report[f"grad_{k}_f16sort"]["max_rel"] < 2e-3
                 for k in params)
         and all(report[f"grad_{k}_bf16sort"]["max_rel"] < 5e-3
                 for k in params))
@@ -229,20 +230,21 @@ def main():
     budgets = autotune(scene, camera)
     _log(f"autotuned budgets: {budgets}")
 
-    # Headline = the library DEFAULT path: the absmax-scaled f16 gradient
-    # sort, promoted on a full evidence chain (trainer A/B matches f32
-    # 28.16-vs-28.18 dB rising; pure-GD 1000-step 45.73-vs-45.63 dB; parity
-    # ~2-3e-4; loss-scale-invariant). bf16 — whose 2^-8 rounding is
-    # numerically IDENTICAL to the round-3 MXU precision drift and FAILED
-    # the same trainer gate (24.80 falling) — stays opt-in. All three
-    # modes are measured and parity-asserted every run.
+    # Headline = the library DEFAULT path: the EXACT f32 gradient sort,
+    # restored as default in round 5 — packing the gradient buffer by the
+    # forward's measured k_end cut the sorted rows ~9.7x, so the exact sort
+    # costs the same as the scaled-f16 option (18.53 vs 18.38 Mpix/s
+    # on-device). f16 stays available (trainer-certified round 4); bf16 —
+    # whose 2^-8 rounding is numerically IDENTICAL to the round-3 MXU
+    # precision drift and FAILED the trainer gate (24.80 falling) — stays
+    # opt-in. All three modes are measured and parity-asserted every run.
     pallas_mpix, pallas_dt, _ = bench_backend(scene, camera, "pallas", budgets)
-    _log(f"pallas (default, scaled-f16 grad sort): {pallas_dt:.4f}s/step "
+    _log(f"pallas (default, exact f32 grad sort): {pallas_dt:.4f}s/step "
          f"({pallas_mpix:.2f} Mpix/s)")
-    f32_mpix, f32_dt, _ = bench_backend(scene, camera, "pallas", budgets,
-                                        grad_sort="f32")
-    _log(f"pallas f32-sort (exact): {f32_dt:.4f}s/step "
-         f"({f32_mpix:.2f} Mpix/s)")
+    f16_mpix, f16_dt, _ = bench_backend(scene, camera, "pallas", budgets,
+                                        grad_sort="f16")
+    _log(f"pallas f16-sort (scaled, trainer-certified): {f16_dt:.4f}s/step "
+         f"({f16_mpix:.2f} Mpix/s)")
     bf16_mpix, bf16_dt, _ = bench_backend(scene, camera, "pallas", budgets,
                                           grad_sort="bf16")
     _log(f"pallas bf16-sort option: {bf16_dt:.4f}s/step "
@@ -303,10 +305,11 @@ def main():
         "vs_baseline": round(pallas_mpix / max(xla_mpix, 1e-9), 3),
         "detail": {
             "pallas_step_s": round(pallas_dt, 4),
-            "grad_sort": "scaled-f16 default (trainer-certified); "
-                         "f32 exact opt-out; bf16 opt-in (failed the gate)",
-            "pallas_f32_sort_step_s": round(f32_dt, 4),
-            "pallas_f32_sort_mpix_per_s": round(f32_mpix, 2),
+            "grad_sort": "exact-f32 default (k_end packing made exactness "
+                         "free, round 5); f16 scaled option "
+                         "(trainer-certified); bf16 opt-in (failed the gate)",
+            "pallas_f16_sort_step_s": round(f16_dt, 4),
+            "pallas_f16_sort_mpix_per_s": round(f16_mpix, 2),
             "pallas_bf16_sort_step_s": round(bf16_dt, 4),
             "pallas_bf16_sort_mpix_per_s": round(bf16_mpix, 2),
             "xla_step_s": round(xla_dt, 4),
@@ -353,7 +356,7 @@ def main():
                                       "vs_baseline")}
     compact["detail"] = {k: result["detail"][k] for k in
                          ("pallas_step_s", "overflow_pairs", "n_gaussians",
-                          "device", "pallas_f32_sort_mpix_per_s",
+                          "device", "pallas_f16_sort_mpix_per_s",
                           "pallas_bf16_sort_mpix_per_s", "sh3_mpix_per_s")}
     compact["detail"]["parity_allclose_800_1080"] = [
         result["detail"]["PARITY"]["800x800"]["allclose"],

@@ -242,6 +242,11 @@ class TaskTypeManager:
         """Infer the task from episode shape (task_types.py:333-365)."""
         if episode.get("task_type") == "no_goal_exploration":
             return "nogoalnav"
+        # Adapted episodes (bench/episodes.py) carry the instruction type at
+        # the top level — a Goal-less instruction is a no-goal episode there
+        # too, not just in the raw GVLN {"instructions": [...]} shape.
+        if episode.get("instruction_type") == "Goal-less":
+            return "nogoalnav"
         instructions = episode.get("instructions")
         if instructions:
             if isinstance(instructions[0], dict) and \

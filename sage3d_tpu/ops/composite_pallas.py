@@ -62,13 +62,14 @@ NGRAD = 10           # real gradient channels: d_a..d_cy, dop, df_r..df_d
 GID_COL = 11         # attr column carrying the Gaussian id (f32-exact < 2^24)
 TRANS_EPS = 1e-4     # classic 3DGS early-termination threshold
 GUARD_BLOCKS = 2     # feature-array tail blocks so window DMAs stay in range
-# Default gradient-sort payload mode. "f16" = per-channel absmax-scaled
-# float16 (2^-11 rounding): promoted to default in round 4 on the full
-# evidence chain — trainer A/B matches f32 (28.16 vs 28.18 dB rising at the
-# no-ADC config), pure-GD 1000-step fine convergence matches (45.73 vs
-# 45.63 dB), ~7% faster step, parity ~2-3e-4, loss-scale-invariant by
-# construction. "bf16" (2^-8) FAILED the same gates and must stay opt-in.
-GRAD_SORT_DEFAULT = "f16"
+# Default gradient-sort payload mode. "f32" = exact, restored as default in
+# round 5: packing the gradient buffer by the forward's measured k_end cut
+# the sorted rows ~9.7x (4.69M padded -> 485k at 1080p/1M), so payload width
+# stopped mattering — on-device min-of-3: f32 18.53 vs f16 18.38 Mpix/s.
+# "f16" (per-channel absmax-scaled, 2^-11 rounding, trainer-certified in
+# round 4) remains available; "bf16" (2^-8) FAILED the round-4 convergence
+# gates and must stay opt-in.
+GRAD_SORT_DEFAULT = "f32"
 
 
 def _pixel_rows():
@@ -233,7 +234,9 @@ def _fwd_kernel(tiles_x, tile_start_ref, tile_count_ref, feats_hbm, out_ref,
     # transmittance recurrence, so its stop chunk is bit-equal to k_end —
     # every P-proportional backward stage (slot buffer, gradient sort,
     # segment reduction) shrinks by the measured early-termination factor.
-    kend_ref[...] = jnp.zeros((1, 128), jnp.int32) + k_end
+    # (1, 8, 128) block: Mosaic requires the trailing two block dims be
+    # (8, 128)-divisible — a (1, 128) row block fails to lower on real TPU.
+    kend_ref[...] = jnp.zeros((1, 8, 128), jnp.int32) + k_end
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +415,7 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((1, NCH, NPIX), lambda t, s, c: (t, 0, 0)),
-                pl.BlockSpec((1, 128), lambda t, s, c: (t, 0)),
+                pl.BlockSpec((1, 8, 128), lambda t, s, c: (t, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, 2, NFEAT, CHUNK), jnp.float32),
@@ -424,11 +427,11 @@ def _get_attr_composite(n_tiles: int, tiles_x: int, n_blocks: int, c_cap: int,
             grid_spec=grid,
             out_shape=[
                 jax.ShapeDtypeStruct((n_tiles, NCH, NPIX), jnp.float32),
-                jax.ShapeDtypeStruct((n_tiles, 128), jnp.int32),
+                jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
             ],
             interpret=interpret,
         )(tile_start, tile_count, feats3)
-        return out, kend[:, 0]
+        return out, kend[:, 0, 0]
 
     def bwd_call(feats3, tile_start, tile_count, chunk0, allowed, fwd_out,
                  gout):

@@ -122,6 +122,14 @@ def test_task_inference():
     assert TaskTypeManager.infer_task_type({"target_object": "chair"}) == "objectnav"
     assert TaskTypeManager.infer_task_type({"goal_position": [0, 0, 0]}) == "pointnav"
     assert TaskTypeManager.infer_task_type({"target_image": "x"}) == "imgnav"
+    # adapted episodes (bench/episodes.py) carry instruction_type top-level:
+    # a Goal-less instruction must infer nogoalnav through the adapter too
+    assert TaskTypeManager.infer_task_type(
+        {"instruction_type": "Goal-less",
+         "instruction": {"instruction_text": "Explore."}}) == "nogoalnav"
+    assert TaskTypeManager.infer_task_type(
+        {"instruction_type": "AC",
+         "instruction": {"instruction_text": "Walk."}}) == "vln"
 
 
 def test_adapt_episode_objectnav():

@@ -52,10 +52,10 @@ def test_pallas_backward_matches_oracle(scene, cam):
 
     def loss(p, backend):
         s = scene._replace(**p)
-        # f32 grad sort: this test isolates the KERNEL math against the
-        # oracle at fp32 accumulation-noise tolerance; the scaled-f16
-        # DEFAULT's payload quantization is bounded separately below
-        # (GRAD_SORT_DEFAULT == "f16", composite_pallas.py).
+        # f32 grad sort (the round-5 default): this test isolates the KERNEL
+        # math against the oracle at fp32 accumulation-noise tolerance; the
+        # optional scaled-f16 mode's payload quantization is bounded
+        # separately below (GRAD_SORT_DEFAULT, composite_pallas.py).
         out = render(s, cam, backend=backend, pair_capacity=1 << 14,
                      grad_sort="f32")
         # exercise rgb + depth + alpha + trans cotangents
@@ -75,15 +75,15 @@ def test_pallas_backward_matches_oracle(scene, cam):
                                    err_msg=f"grad mismatch: {name}")
 
 
-def test_default_grad_sort_is_scaled_f16(scene, cam):
-    """The DEFAULT gradient path is the absmax-scaled f16 payload sort,
-    promoted in round 4 on the full evidence chain (trainer A/B 28.16 vs
-    f32's 28.18 dB rising; pure-GD 1000-step 45.73 vs 45.63 dB; ~7% faster;
-    loss-scale-invariant). bf16 — whose rounding is numerically IDENTICAL
-    to the round-3 MXU precision drift (trajectories bit-match,
-    docs/PERF_NOTES.md) — FAILED the same trainer gate and stays opt-in.
-    Guard the default: default grads == explicit grad_sort='f16' grads
-    bitwise, and differ from both f32 and bf16 (the mode is live)."""
+def test_default_grad_sort_is_exact_f32(scene, cam):
+    """The DEFAULT gradient path is the EXACT f32 payload sort, restored in
+    round 5: packing the gradient buffer by the forward's measured k_end cut
+    the sorted rows ~9.7x, making the exact sort as fast as the scaled-f16
+    mode (on-device 18.53 vs 18.38 Mpix/s) — so the default pays nothing for
+    exactness. f16 (trainer-certified in round 4) and bf16 (FAILED the
+    round-4 convergence gates) remain opt-in.
+    Guard the default: default grads == explicit grad_sort='f32' grads
+    bitwise, and differ from both f16 and bf16 (the mode is live)."""
     def gr(**kw):
         def loss(op):
             s = scene._replace(opacity_logits=op)
@@ -96,8 +96,8 @@ def test_default_grad_sort_is_scaled_f16(scene, cam):
     g_f16 = gr(grad_sort="f16")
     g_f32 = gr(grad_sort="f32")
     g_bf16 = gr(grad_sort="bf16")
-    np.testing.assert_array_equal(g_default, g_f16)
-    assert np.abs(g_default - g_f32).max() > 0.0
+    np.testing.assert_array_equal(g_default, g_f32)
+    assert np.abs(g_default - g_f16).max() > 0.0
     assert np.abs(g_default - g_bf16).max() > 0.0
 
 
