@@ -31,6 +31,13 @@ import time
 
 from _util import REPO_ROOT, log  # noqa: E402  (path setup side effect)
 
+# The PARENT process only builds fixture files and audits artifacts — the
+# real TPU belongs to the CLI subprocess. Without this, scene construction
+# runs jnp ops through the tunnel (minutes) and contends with the subprocess.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 WORLD = os.environ.get("E2E_WORLD", "/tmp/sage3d_e2e_r5")
 PORT = int(os.environ.get("E2E_PORT", "55417"))
 N_GAUSS = int(os.environ.get("E2E_GAUSS", "200000"))

@@ -32,7 +32,7 @@ def main(n_gauss=1_000_000, width=1920, height=1080, batch=8, iters=4):
                     forward=[0.1 * (i - 3.5), 1.0, -0.05],
                     width=width, height=height, focal_mm=14.0)
         for i in range(batch)])
-    budgets = autotune_poses(scene, cams, pair_margin=1.2)
+    budgets = autotune_poses(scene, cams, pair_margin=1.2, grad_margin=1.3)
     log(f"shared budgets over {batch} cams: {budgets}")
     from sage3d_tpu.renderer.render import budget_kwargs
     kw = budget_kwargs(budgets)

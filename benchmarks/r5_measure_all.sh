@@ -40,6 +40,8 @@ run_stage adc_flagship 10800 python benchmarks/adc_flagship.py
 
 run_stage vmap_fwd_probe 7200 python benchmarks/vmap_fwd_probe.py
 
+run_stage gather_width_probe 7200 python benchmarks/gather_width_probe.py
+
 run_stage rollout_bench 10800 python benchmarks/rollout_bench.py
 
 stage DONE

@@ -32,6 +32,26 @@ import sys
 from pathlib import Path
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI entry point.
+
+    Through the tunneled-TPU compile service a fresh kernel compile costs
+    30 s-18 min; the benchmark's file-existence resume (run_benchmark.py:
+    369-405 contract) is only cheap if the restarted process can reuse the
+    previous process's compiled programs."""
+    import os
+
+    import jax
+    cache = os.environ.get("SAGE3D_COMPILE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "sage3d_tpu", "jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # cache is an optimization; never block the CLI on it
+
+
 def _first_scene_asset(scenes_root: str) -> str:
     """First scene asset in a folder (warm-up scene for the shared batch env)."""
     root = Path(scenes_root)
@@ -520,6 +540,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_validate_ply)
 
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

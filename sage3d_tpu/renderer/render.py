@@ -111,7 +111,8 @@ def autotune_all(scene: GaussianScene, camera: Camera,
 
 
 def autotune_poses(scene: GaussianScene, cameras, pair_margin: float = 1.5,
-                   sh_degree: Optional[int] = None) -> Dict[str, int]:
+                   sh_degree: Optional[int] = None,
+                   grad_margin: Optional[float] = None) -> Dict[str, int]:
     """Budgets safe across MANY camera poses (rollouts reuse one static config
     for a whole episode): one vmapped probe computes per-pose pair stats, the
     budgets cover the worst pose, and a second vmapped probe measures the
@@ -121,6 +122,12 @@ def autotune_poses(scene: GaussianScene, cameras, pair_margin: float = 1.5,
     probe poses — e.g. 4-8 yaw rotations around the agent's operating region.
     The margin buys headroom for unprobed poses; overflow stays COUNTED in
     every render output, never silent.
+
+    ``grad_margin`` (opt-in, for TRAINING over the probed poses): also run the
+    Pallas forward per pose and size ``grad_capacity`` to the WORST pose's
+    measured early-termination chunk count x margin, so multi-camera training
+    gets the packed backward (the round-5 k_end row cut). Forward-only
+    rollouts should leave it None — grad_capacity is backward-only.
     """
     from ..ops.binning import _pick_budgets, _pow2_at_least, pair_count_stats
 
@@ -165,6 +172,22 @@ def autotune_poses(scene: GaussianScene, cameras, pair_margin: float = 1.5,
     budgets["n_pairs_measured"] = int(n_pairs)
     tight = -(-int(int(n_pairs) * pair_margin + 256) // 128) * 128
     budgets["pair_capacity"] = min(budgets["pair_capacity"], tight)
+
+    if grad_margin is not None:
+        # lax.map, not vmap: full-scene renders collapse ~2x under vmap and
+        # a vmapped 8x1080p forward would also materialize 8 pair buffers.
+        @jax.jit
+        def kend_probe(s, cams):
+            def one(c):
+                out = render(s, c, backend="pallas", sh_degree=sh_degree,
+                             **budget_kwargs(budgets))
+                return out["grad_chunks"]
+            return jnp.max(jax.lax.map(one, cams))
+
+        chunks = int(jax.device_get(kend_probe(scene, cameras)))
+        budgets["grad_capacity"] = \
+            -(-int(chunks * grad_margin + 64) // 64) * 64
+        budgets["grad_chunks_measured"] = chunks
     return budgets
 
 

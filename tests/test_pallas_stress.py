@@ -58,9 +58,10 @@ def test_multichunk_early_termination_forward_and_backward():
 
     def loss(op, backend):
         s = scene._replace(opacity_logits=op)
-        # f32 grad sort: kernel-math isolation at fp32 tolerance (the
-        # scaled-f16 DEFAULT is bounded in test_pallas_backward_f16_sort_close,
-        # the bf16 opt-in in test_pallas_backward_bf16_sort_close)
+        # f32 grad sort (the round-5 default): kernel-math isolation at fp32
+        # tolerance (the scaled-f16 option is bounded in
+        # test_pallas_backward_f16_sort_close, the bf16 opt-in in
+        # test_pallas_backward_bf16_sort_close)
         o = render(s, CAM, backend=backend, pair_capacity=1 << 16,
                    tile_capacity=1024, grad_sort="f32")
         return jnp.mean(o["rgb"] ** 2) + 0.1 * jnp.mean(o["depth_acc"])
@@ -240,14 +241,19 @@ def test_autotune_poses_covers_every_probed_pose():
              ((0.5, 2.5), -1.2)]
     cams = stack_cameras([agent_camera(p, yaw=y, width=160, height=128)
                           for p, y in poses])
-    bud = autotune_poses(scene, cams, pair_margin=1.5)
+    bud = autotune_poses(scene, cams, pair_margin=1.5, grad_margin=1.3)
     assert bud["pair_capacity"] >= bud["n_pairs_measured"]
+    # the opt-in worst-pose kend probe must size a usable grad capacity
+    assert bud["grad_capacity"] >= bud["grad_chunks_measured"] >= 1
     from sage3d_tpu.renderer.render import budget_kwargs
     kw = budget_kwargs(bud)
     for p, y in poses:
         cam = agent_camera(p, yaw=y, width=160, height=128)
         out = render(scene, cam, backend="xla", **kw)
         assert int(out["overflow"]) == 0, f"overflow at pose {p}, yaw {y}"
+        # packed grad capacity covers each probed pose's measured chunks
+        outp = render(scene, cam, backend="pallas", **kw)
+        assert int(outp["grad_chunks"]) <= bud["grad_capacity"]
 
 
 def test_three_tier_emission_matches_two_tier():
