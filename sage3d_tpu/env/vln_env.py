@@ -30,7 +30,7 @@ import numpy as np
 
 from ..physics.agent import AgentState, apply_cmd, init_agent
 from ..physics.occupancy import OccupancyGrid, check_collision_world, grid_from_semantic_map
-from ..renderer.camera import agent_camera
+from ..renderer.camera import agent_camera_jnp
 from ..renderer.render import render, rgb_to_uint8
 from ..renderer.scene import GaussianScene, load_ply
 from ..utils.transforms import yaw_from_world_quat
@@ -82,6 +82,19 @@ class GaussianVLNEnv:
         self._apply_cmd = jax.jit(apply_cmd)
         self._check_collision = jax.jit(check_collision_world)
 
+        # One compiled program per (scene-shape, resolution) for the capture
+        # path: camera built in-trace from the agent pose (agent_camera_jnp),
+        # so every get_rgb/get_rgbd is ONE device dispatch instead of the
+        # eager per-op chain (interactive episodes were dispatch-bound:
+        # ~50 s/episode through the tunnel before this).
+        def _frame(scene, pos, yaw):
+            cam = agent_camera_jnp(
+                pos[:2], yaw, width=self.width, height=self.height,
+                focal_mm=self.focal_mm, camera_height=self.camera_height)
+            return render(scene, cam, backend=self.backend)
+
+        self._render_jit = jax.jit(_frame)
+
     # -- scene / map management (reference load_scene simple_env.py:1085,
     #    update_map :1116) ---------------------------------------------------
     def load_scene(self, scene) -> None:
@@ -125,15 +138,10 @@ class GaussianVLNEnv:
         return float(self.state.yaw)
 
     # -- capture ------------------------------------------------------------
-    def _camera(self):
-        return agent_camera(
-            np.asarray(self.state.pos[:2]), float(self.state.yaw),
-            width=self.width, height=self.height, focal_mm=self.focal_mm,
-            camera_height=self.camera_height)
-
     def render_frame(self) -> Dict[str, jnp.ndarray]:
-        """One render pass: rgb + depth + semantic + alpha."""
-        return render(self.scene, self._camera(), backend=self.backend)
+        """One render pass: rgb + depth + semantic + alpha (one jitted
+        dispatch; geometry identical to agent_camera — tested)."""
+        return self._render_jit(self.scene, self.state.pos, self.state.yaw)
 
     def get_rgb(self) -> np.ndarray:
         out = self.render_frame()

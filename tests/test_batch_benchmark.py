@@ -142,6 +142,45 @@ def test_batch_run_hot_swap_and_artifacts(batch_world):
                for r in summary2["file_results"])
 
 
+def test_batch_covers_all_13_measures(batch_world, tmp_path):
+    """A batch mixing VLN and Goal-less instructions must emit BOTH metric
+    sets — all 13 distinct measures — through the artifact files (the CPU
+    mirror of the on-device e2e run, benchmarks/e2e_benchmark.py; guards the
+    adapted-episode nogoal inference in tasks.infer_task_type)."""
+    gvln = _gvln("roomA")
+    sample = gvln["scenes"][0]["samples"][0]
+    sample["instructions"].append(
+        {"generated_instruction": "Explore the room freely.",
+         "instruction_type": "Goal-less", "start": "label_0",
+         "end": "label_0"})
+    tests_dir = tmp_path / "tests"
+    tests_dir.mkdir()
+    with open(tests_dir / "test_roomA.json", "w") as f:
+        json.dump(gvln, f)
+
+    env = GaussianVLNEnv(str(batch_world / "scenes" / "roomA.ply"),
+                         map_json=None, width=64, height=48, backend="xla")
+
+    def policy(images, instruction, current_yaw, depth_images=None):
+        return {"vx": 0.3, "vy": 0.0, "yaw_rate": 0.0, "duration_s": 1.0,
+                "stop": False, "parsed_from": "scripted"}
+
+    out_dir = tmp_path / "out"
+    run_batch_benchmark(env, tests_dir, batch_world / "scenes",
+                        batch_world / "maps", policy, out_dir, max_steps=3,
+                        quiet=True)
+    seen = set()
+    for mdir in out_dir.glob("roomA/*/measurements/*.json"):
+        with open(mdir) as f:
+            seen |= set(json.load(f)["measurements"])
+    assert seen == {
+        "distance_to_goal", "success", "oracle_success", "path_length",
+        "spl", "navigation_error", "collision_count",
+        "continuous_success_ratio", "integrated_collision_penalty",
+        "path_smoothness", "episode_time", "explored_areas",
+        "exploration_coverage"}
+
+
 def test_batch_file_sharding(batch_world):
     files = find_test_json_files(batch_world / "tests")
     shard0 = [f for i, f in enumerate(files) if i % 2 == 0]

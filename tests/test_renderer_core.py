@@ -146,6 +146,51 @@ def test_agent_camera_geometry():
     np.testing.assert_allclose(down, [0.0, 0.0, -1.0], atol=1e-6)
 
 
+def test_agent_camera_jnp_matches_host():
+    """agent_camera_jnp (traced, used by the env's jitted capture path and
+    rollouts) must produce the identical Camera pytree as the host-side
+    agent_camera for arbitrary poses."""
+    from sage3d_tpu.renderer.camera import agent_camera_jnp
+    for xy, yaw in (((1.0, 2.0), np.pi / 2), ((-3.2, 0.7), -1.1),
+                    ((0.0, 0.0), 2.9), ((4.5, -4.5), 0.0)):
+        a = agent_camera(xy, yaw=yaw, width=64, height=48)
+        b = agent_camera_jnp(np.asarray(xy), yaw, width=64, height=48)
+        for name in ("position", "cam_to_world", "fx", "fy", "cx", "cy"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                atol=1e-6, err_msg=f"{name} at pose {xy}, yaw {yaw}")
+        assert (a.width, a.height) == (b.width, b.height)
+
+
+def test_env_render_frame_is_jitted_and_matches_eager():
+    """The env's single-dispatch capture path must equal an eager render with
+    the host-built agent camera at the same pose."""
+    from sage3d_tpu.env.vln_env import GaussianVLNEnv
+    from sage3d_tpu.renderer.render import render
+    from sage3d_tpu.renderer.scene import synthetic_room
+
+    scene = synthetic_room(1500, seed=4)
+    env = GaussianVLNEnv(scene, map_json=None, width=64, height=48,
+                         backend="xla")
+    env.set_start_pose([0.6, -2.5, 0.5], [0.0, 0.0, 0.3826834, 0.9238795])
+    got = env.render_frame()
+    # eager render with the same traced-camera construction: the jit wrapper
+    # must be purely an execution-strategy change (host-vs-traced camera
+    # geometry is bounded separately in test_agent_camera_jnp_matches_host —
+    # f64 math vs f32 jnp trig shifts a few EDGE pixels at 64x48)
+    from sage3d_tpu.renderer.camera import agent_camera_jnp
+    cam = agent_camera_jnp(env.state.pos[:2], env.state.yaw,
+                           width=64, height=48)
+    want = render(scene, cam, backend="xla")
+    # jit changes XLA fusion/reassociation order: fp32 accumulation noise
+    # only (measured max ~6e-5 at 64x48)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(want["rgb"]), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(want["depth"]), rtol=1e-3,
+                               atol=1e-3)
+
+
 def test_render_batch_shapes(small_scene):
     from sage3d_tpu.renderer.camera import stack_cameras
     from sage3d_tpu.renderer.render import render_batch
