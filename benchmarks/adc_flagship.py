@@ -28,7 +28,8 @@ def main():
     from sage3d_tpu.parallel.trainer import (AdaptiveConfig, TrainerConfig,
                                              fit_scene_adaptive)
     from sage3d_tpu.renderer.camera import make_camera, stack_cameras
-    from sage3d_tpu.renderer.render import autotune_all, render
+    from sage3d_tpu.renderer.render import (autotune_all, budget_kwargs,
+                                            render)
     from sage3d_tpu.renderer.scene import importance_subset, synthetic_room
     import numpy as np
 
@@ -44,7 +45,7 @@ def main():
     targets = []
     for c in cams:
         budgets = autotune_all(gt, c)
-        out = render(gt, c, backend="pallas", **budgets)
+        out = render(gt, c, backend="pallas", **budget_kwargs(budgets))
         targets.append(out["rgb"])
     targets = jax.block_until_ready(jnp.stack(targets))
     cameras = stack_cameras(cams)
