@@ -329,8 +329,8 @@ def main():
     # carries the full picture; they are re-measured by benchmarks/*.py, not
     # by this run — see docs/BENCH_AUX_r02.json for provenance.
     docs = os.path.join(os.path.dirname(__file__) or ".", "docs")
-    for name in ("BENCH_AUX_r04.json", "BENCH_AUX_r03.json",
-                  "BENCH_AUX_r02.json"):
+    for name in ("BENCH_AUX_r05.json", "BENCH_AUX_r04.json",
+                  "BENCH_AUX_r03.json", "BENCH_AUX_r02.json"):
         aux_path = os.path.join(docs, name)
         if os.path.exists(aux_path):
             with open(aux_path) as f:
@@ -352,15 +352,19 @@ def main():
     # (VERDICT r4 weak #4). So: the LAST line printed is a compact headline
     # (always inside any tail window), the full detail line precedes it, and
     # docs/BENCH_LAST.json carries everything regardless.
-    compact = {k: result[k] for k in ("metric", "value", "unit",
-                                      "vs_baseline")}
-    compact["detail"] = {k: result["detail"][k] for k in
+    # Defensive .get()s: the headline print must NEVER crash on a missing
+    # detail key (a renamed field after measurement would otherwise lose the
+    # whole run from the driver artifact — the exact r3/r4 failure class).
+    compact = {k: result.get(k) for k in ("metric", "value", "unit",
+                                          "vs_baseline")}
+    compact["detail"] = {k: result["detail"].get(k) for k in
                          ("pallas_step_s", "overflow_pairs", "n_gaussians",
                           "device", "pallas_f16_sort_mpix_per_s",
                           "pallas_bf16_sort_mpix_per_s", "sh3_mpix_per_s")}
+    parity = result["detail"].get("PARITY", {})
     compact["detail"]["parity_allclose_800_1080"] = [
-        result["detail"]["PARITY"]["800x800"]["allclose"],
-        result["detail"]["PARITY"]["1080p"]["allclose"]]
+        parity.get("800x800", {}).get("allclose"),
+        parity.get("1080p", {}).get("allclose")]
     compact["detail"]["full_detail"] = "docs/BENCH_LAST.json"
     print(json.dumps(result))
     print(json.dumps(compact), flush=True)

@@ -44,5 +44,7 @@ run_stage gather_width_probe 7200 python benchmarks/gather_width_probe.py
 
 run_stage rollout_bench 10800 python benchmarks/rollout_bench.py
 
+run_stage env_latency 3600 python benchmarks/env_latency.py
+
 stage DONE
 echo "round-5 sweep attempted"
