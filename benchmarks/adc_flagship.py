@@ -21,7 +21,7 @@ from _util import REPO_ROOT, log  # noqa: F401  (path + cache side effects)
 CAPACITY = 1_000_000
 INIT_LIVE = 160_000
 VIEWS, RES = 4, 256
-STEPS, DENSIFY_EVERY = 160, 20
+STEPS, DENSIFY_EVERY = 220, 20   # 7 densify rounds (<=140) + 80 recovery
 
 
 def main():
@@ -58,8 +58,15 @@ def main():
         TrainerConfig(steps=STEPS, group_lrs=True, scene_extent=8.0,
                       log_every=10, backend="pallas",
                       pair_capacity=1 << 22, tile_capacity=8192),
-        AdaptiveConfig(densify_every=DENSIFY_EVERY, densify_until=120,
-                       grad_threshold=1e-6, max_new_fraction=0.5),
+        # grad_threshold 1e-9: at 4x256x256 on a 1M-capacity scene the
+        # per-Gaussian accumulated grads are ~1e-8-1e-6, so the adc_demo's
+        # 1e-6 gate admits only ~5k candidates/round (measured in the r5
+        # sweep: 160k -> 171k over 3 rounds). densify_prune ranks candidates
+        # by gradient and caps at max_new_fraction, so a near-zero threshold
+        # means "top-gradient half each round" — the classic 3DGS behavior
+        # at this signal scale.
+        AdaptiveConfig(densify_every=DENSIFY_EVERY, densify_until=140,
+                       grad_threshold=1e-9, max_new_fraction=0.5),
         capacity=CAPACITY, verbose=True)
     wall = time.time() - t0
 

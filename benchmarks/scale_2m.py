@@ -33,7 +33,9 @@ def main():
     scene = make_bench_scene_device(n)
     cam = make_camera(position=[0.0, -6.0, 1.5], forward=[0.0, 1.0, -0.05],
                       width=WIDTH, height=HEIGHT, focal_mm=14.0)
-    budgets = autotune_all(scene, cam)
+    # pair_margin + grad_margin: same honesty policy as the headline bench —
+    # tight measured capacities, packed backward, overflow must report 0.
+    budgets = autotune_all(scene, cam, pair_margin=1.05, grad_margin=1.2)
     log(f"2M budgets: {budgets}")
     mpix, dt, compile_s = bench_backend(scene, cam, "pallas", budgets)
     overflow = int(jax.device_get(jax.jit(
