@@ -81,6 +81,8 @@ def _rollout_impl(
     k_big: int = 256,
     m_mid: int = 0,
     k_mid: int = 0,
+    grad_capacity: int = 0,   # accepted for budget_kwargs(...) compatibility;
+                              # forward-only rollouts never build grad buffers
     render_scene: GaussianScene | None = None,
     collision_accel: CollisionAccel | None = None,
     prune_margin: float = 2.0,
@@ -142,7 +144,8 @@ def _rollout_impl(
 
 _ROLLOUT_STATICS = ("n_steps", "width", "height", "backend", "pair_capacity",
                     "tile_capacity", "use_capsule", "k_small", "m_big",
-                    "k_big", "m_mid", "k_mid", "prune_margin")
+                    "k_big", "m_mid", "k_mid", "grad_capacity",
+                    "prune_margin")
 
 # Run one fully-on-device episode (single launch per episode).
 rollout = partial(jax.jit, static_argnames=_ROLLOUT_STATICS)(_rollout_impl)
@@ -155,7 +158,7 @@ def rollout_batch(scene, grid, start_xy, start_yaw, goal_xy,
                   tile_capacity: int = 1024, use_capsule: bool = True,
                   duration_s: float = 1.0, k_small: int = 16,
                   m_big: int = 8192, k_big: int = 256, m_mid: int = 0,
-                  k_mid: int = 0, render_scene=None,
+                  k_mid: int = 0, grad_capacity: int = 0, render_scene=None,
                   collision_accel=None, prune_margin: float = 2.0,
                   batch_mode: str = "vmap"):
     """Batched episodes: (B, 2) starts / (B,) yaws / (B, 2) goals run as
