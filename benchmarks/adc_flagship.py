@@ -51,7 +51,13 @@ def main():
     cameras = stack_cameras(cams)
     log(f"GT targets ready: {VIEWS}x{RES}x{RES}")
 
-    init = importance_subset(gt, INIT_LIVE)
+    # Init = a DIFFERENT sparse room, not a subset of GT: an importance
+    # subset of the ground truth already reproduces it at ~27-29 dB at this
+    # resolution, so per-Gaussian gradients are ~0 and densification has
+    # nothing to chase (v1/v2 runs stalled at 182k/215k live). Real training
+    # starts misfit — strong gradients everywhere drive the classic
+    # clone/split growth.
+    init = importance_subset(synthetic_room(400_000, seed=11), INIT_LIVE)
     t0 = time.time()
     fitted, history = fit_scene_adaptive(
         init, cameras, targets,

@@ -39,17 +39,21 @@ def parse_stages(log_path):
 
 
 def main():
-    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/r5_measure.log"
+    log_paths = sys.argv[1:] or ["/tmp/r5_measure.log"]
+    stages = {}
+    for lp in log_paths:
+        if os.path.exists(lp):
+            stages.update(parse_stages(lp))  # later logs override earlier
     out = {
         "provenance": {
             "round": 5,
             "collected_at": time.strftime("%Y-%m-%d %H:%M:%S"),
-            "sweep_log": log_path,
+            "sweep_logs": log_paths,
             "device": "TPU v5 lite (tunneled), single chip",
             "note": "every row measured on round-5 code; the two r2-stale "
                     "rows (scale_2m, policy serving) are re-measured stages",
         },
-        "stages": parse_stages(log_path),
+        "stages": stages,
     }
     for name, path in (("headline_last", "docs/BENCH_LAST.json"),
                        ("e2e_benchmark", "docs/E2E_BENCH_r05.json")):
