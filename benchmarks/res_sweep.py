@@ -57,7 +57,9 @@ def main():
         cam = make_camera(position=[0.0, -6.0, 1.5],
                           forward=[0.0, 1.0, -0.05], width=w, height=h,
                           focal_mm=14.0)
-        budgets = autotune_all(scene, cam)
+        # headline-bench capacity policy: tight measured budgets + the packed
+        # backward (grad_margin), overflow asserted 0 per row
+        budgets = autotune_all(scene, cam, pair_margin=1.05, grad_margin=1.2)
         log(f"{name} budgets: {budgets}")
         dt_f = fwd_only(scene, cam, budgets)
         log(f"{name} fwd: {dt_f*1e3:.1f} ms ({w*h/dt_f/1e6:.2f} Mpix/s)")
